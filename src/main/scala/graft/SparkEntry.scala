@@ -1,13 +1,57 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] is one operator from SURVEY.md §2, implemented
+  * Spark-first; [[oracleSql]] carries the DuckDB-equivalent SQL the driver
+  * hash-compares against at sf0.01.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q2JoinRevenue(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"               -> (Relational.q1Agg _),
+    "q2_join_revenue"      -> (Relational.q2JoinRevenue _),
+    "q3_filter_revenue"    -> (Relational.q3FilterRevenue _),
+    "q4_dedup_keep_last"   -> (Relational.q4DedupKeepLast _),
+    "q5_distinct"          -> (Relational.q5Distinct _),
+    "q6_topk_per_group"    -> (Relational.q6TopKPerGroup _),
+    "q7_group_broadcast"   -> (Relational.q7GroupBroadcast _),
+    "q8_union_dedup"       -> (Relational.q8UnionDedup _),
+    "q9_coalesce_longest"  -> (Relational.q9CoalesceLongest _),
+    "q10_word_count"       -> (Relational.q10WordCount _),
+    "q11_regex_extract"    -> (Relational.q11RegexExtract _),
+    "q12_md5"              -> (Relational.q12Md5 _),
+    "q13_date_arith"       -> (Relational.q13DateArith _),
+    "q14_argmax"           -> (Relational.q14ArgMax _),
+    "q15_clean"            -> (CleanerQueries.q15Clean _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg"               -> Relational.q1Sql,
+    "q2_join_revenue"      -> Relational.q2Sql,
+    "q3_filter_revenue"    -> Relational.q3Sql,
+    "q4_dedup_keep_last"   -> Relational.q4Sql,
+    "q5_distinct"          -> Relational.q5Sql,
+    "q6_topk_per_group"    -> Relational.q6Sql,
+    "q7_group_broadcast"   -> Relational.q7Sql,
+    "q8_union_dedup"       -> Relational.q8Sql,
+    "q9_coalesce_longest"  -> Relational.q9Sql,
+    "q10_word_count"       -> Relational.q10Sql,
+    "q11_regex_extract"    -> Relational.q11Sql,
+    "q12_md5"              -> Relational.q12Sql,
+    "q13_date_arith"       -> Relational.q13Sql,
+    "q14_argmax"           -> Relational.q14Sql,
+    "q15_clean"            -> CleanerQueries.q15Sql,
+  )
 }

@@ -1,0 +1,74 @@
+package graft.clean
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's content cleaner re-expressed as pure Column expressions
+  * (reference: content_cleaner.py:5-131; operators P4–P12, F1–F3 in
+  * SURVEY.md §2.2/§2.8).
+  *
+  * Protocol (two-phase, as in the reference): normalize whitespace/HTML →
+  * flag bad cells to NULL (blacklist phrases, boilerplate regex, min length,
+  * whitespace-only) → drop rows where any required column is null. All rules
+  * are `when`/`rlike`/`length` chains — whole-stage codegen'd, no UDFs, and
+  * they push down/compose freely under Catalyst.
+  */
+object Cleaner {
+
+  /** Boilerplate phrases that invalidate a cell (content_cleaner.py:72-78),
+    * matched case-insensitively as substrings.
+    */
+  val blacklist: Seq[String] = Seq(
+    "javascript", "cookie", "subscribe", "newsletter", "sign up", "sign in",
+    "log in", "login", "privacy policy", "terms of service", "all rights reserved",
+    "copyright", "advertisement")
+
+  private val blacklistRe = "(?i)(" + blacklist.map(java.util.regex.Pattern.quote).mkString("|") + ")"
+
+  /** Content patterns that invalidate a cell on substring match
+    * (content_cleaner.py:56-61): URLs, emails, phone numbers, html tags.
+    */
+  val removalRe: String =
+    "(https?://\\S+|www\\.\\S+|[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}|\\+?\\d[\\d\\s().-]{7,}\\d|<[^>]+>)"
+
+  /** F1: collapse whitespace runs / strip html-ish tags, then trim. */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "<[^>]*>", " "), "[\\n\\t ]+", " "))
+
+  /** P7: cell → null when it contains any blacklist phrase. */
+  def nullIfBlacklisted(c: Column): Column =
+    when(c.rlike(blacklistRe), lit(null)).otherwise(c)
+
+  /** P9: cell → null when it matches a boilerplate content pattern. */
+  def nullIfBoilerplate(c: Column): Column =
+    when(c.rlike(removalRe), lit(null)).otherwise(c)
+
+  /** P8: cell → null when shorter than the per-column minimum
+    * (content_cleaner.py:88-94: title 20, description 100, body 400,
+    * paragraph 150).
+    */
+  def nullIfShort(c: Column, minLen: Int): Column =
+    when(length(c) < minLen, lit(null)).otherwise(c)
+
+  /** P10: whitespace-only cell → null. */
+  def nullIfBlank(c: Column): Column =
+    when(c.rlike("^\\s*$"), lit(null)).otherwise(c)
+
+  val minLens: Map[String, Int] =
+    Map("title" -> 20, "description" -> 100, "body" -> 400, "paragraph" -> 150)
+
+  /** Full flag-then-drop chain over the canonical article columns present in
+    * `df` (P7→P9→P8→P10 then P11 dropna). Column list is dynamic, as in the
+    * reference's suffix-convention schema (§1.2).
+    */
+  def clean(df: DataFrame, cols: Seq[String] = Seq("title", "description", "body", "paragraph")): DataFrame = {
+    val present = cols.filter(df.columns.contains)
+    val flagged = present.foldLeft(df) { (d, name) =>
+      val base = nullIfBlank(nullIfShort(
+        nullIfBoilerplate(nullIfBlacklisted(normalize(col(name)))),
+        minLens.getOrElse(name, 1)))
+      d.withColumn(name, base)
+    }
+    flagged.na.drop("any", present)
+  }
+}
