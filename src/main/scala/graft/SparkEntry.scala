@@ -32,6 +32,13 @@ object SparkEntry {
     "q13_date_arith"       -> (Relational.q13DateArith _),
     "q14_argmax"           -> (Relational.q14ArgMax _),
     "q15_clean"            -> (CleanerQueries.q15Clean _),
+    "q16_topics"           -> (NlpQueries.q16Topics _),
+    "q17_weighted_ner"     -> (NlpQueries.q17WeightedNer _),
+    "q18_sentiment"        -> (NlpQueries.q18Sentiment _),
+    "q19_medoids"          -> (NlpQueries.q19Medoids _),
+    "q20_medoids_pairwise" -> (NlpQueries.q20MedoidsPairwise _),
+    "q21_summarize_medoids"-> (NlpQueries.q21SummarizeMedoids _),
+    "q22_viz_frame"        -> (NlpQueries.q22VizFrame _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -53,5 +60,12 @@ object SparkEntry {
     "q13_date_arith"       -> Relational.q13Sql,
     "q14_argmax"           -> Relational.q14Sql,
     "q15_clean"            -> CleanerQueries.q15Sql,
+    "q16_topics"           -> NlpQueries.q16Sql,
+    "q17_weighted_ner"     -> NlpQueries.q17Sql,
+    "q18_sentiment"        -> NlpQueries.q18Sql,
+    "q19_medoids"          -> NlpQueries.q19Sql,
+    "q20_medoids_pairwise" -> NlpQueries.q20Sql,
+    "q21_summarize_medoids"-> NlpQueries.q21Sql,
+    "q22_viz_frame"        -> NlpQueries.q22Sql,
   )
 }

@@ -1,0 +1,44 @@
+package graft.nlp.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives (SURVEY.md §2.8 F9–F15): tokenize, stopwords, n-grams,
+  * sentence split — pure Column expressions so they stay inside whole-stage
+  * codegen (no UDFs on the hot path).
+  */
+object Text {
+
+  /** Minimal english stopword list (reference ships NLTK/sklearn lists;
+    * F13). Kept as a resource-style constant — parity fixtures use the same
+    * list on the oracle side.
+    */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for")
+
+  /** F9–F11: lowercase, strip punctuation/digits, whitespace tokenize. */
+  def tokens(c: Column): Column =
+    filter(
+      split(regexp_replace(regexp_replace(lower(c), "[^\\w\\s]", ""), "\\d+", ""), "\\s+"),
+      t => t =!= "")
+
+  /** F13: drop stopwords from a token array. */
+  def removeStopwords(toks: Column): Column = {
+    val stops = array(stopwords.map(lit): _*)
+    filter(toks, t => !array_contains(stops, t))
+  }
+
+  /** F12: sentence split on terminal punctuation (regex baseline; punkt
+    * parity not required — SURVEY.md §7.4.6).
+    */
+  def sentences(c: Column): Column =
+    filter(split(c, "(?<=[.!?])\\s+"), s => trim(s) =!= "")
+
+  /** F15: word n-grams (shingles) from a token array, joined by a space.
+    * transform over a sliced range keeps it codegen-friendly.
+    */
+  def ngrams(toks: Column, n: Int): Column =
+    transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(-1))),
+      i => array_join(slice(toks, i + 1, lit(n)), " "))
+}

@@ -1,0 +1,60 @@
+package graft.wizard
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorOps
+
+/** Medoid selection (reference word_wizard.py:719-746, operators W1/W2/J5).
+  *
+  * Two strategies, as in the reference:
+  *  - [[byCentroid]] (KMeans path, W1): distance of each member to its
+  *    cluster centroid, keep the n closest. Linear — centroids come from one
+  *    aggregation, distances from one map — this is the 100 TB path.
+  *  - [[byPairwise]] (HDBSCAN path, W2/J5): mean pairwise distance within
+  *    the cluster, keep the n smallest. O(n²) per cluster — gated by design
+  *    behind an explicit choice, exactly as SURVEY.md §2.3 J5 warns.
+  *
+  * Ranking compares squared distances (monotone in distance) to avoid a
+  * sqrt that buys nothing.
+  */
+object Medoids {
+
+  /** n rows closest to their cluster's centroid.
+    * Returns (idCol, clusterCol, rank) — rank 1..n.
+    */
+  def byCentroid(df: DataFrame, idCol: String, clusterCol: String,
+                 vecCol: String, n: Int): DataFrame = {
+    val dims = df.select(col(idCol), col(clusterCol),
+      posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val centroids = dims.groupBy(col(clusterCol), col("dim"))
+      .agg(avg(col("v")).as("c"))
+    val sq = dims.join(centroids, Seq(clusterCol, "dim"))
+      .groupBy(col(idCol), col(clusterCol))
+      .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("sqdist"))
+    val w = Window.partitionBy(col(clusterCol))
+      .orderBy(col("sqdist"), col(idCol))
+    sq.withColumn("medoid_rank", row_number().over(w))
+      .filter(col("medoid_rank") <= n)
+      .select(col(idCol), col(clusterCol), col("medoid_rank"))
+  }
+
+  /** n rows with smallest mean pairwise distance within their cluster
+    * (self-join on the cluster key; skips singleton "noise" handling — the
+    * reference drops label −1, callers filter first).
+    */
+  def byPairwise(df: DataFrame, idCol: String, clusterCol: String,
+                 vecCol: String, n: Int): DataFrame = {
+    val a = df.select(col(idCol).as("a_id"), col(clusterCol).as("cl"), col(vecCol).as("a_vec"))
+    val b = df.select(col(idCol).as("b_id"), col(clusterCol).as("cl"), col(vecCol).as("b_vec"))
+    val pair = a.join(b, Seq("cl")).filter(col("a_id") =!= col("b_id"))
+      .withColumn("d", sqrt(VectorOps.sqDist(col("a_vec"), col("b_vec"))))
+    val avgd = pair.groupBy(col("cl"), col("a_id"))
+      .agg((sum(col("d")) / count(lit(1))).as("avg_dist"))
+    val w = Window.partitionBy(col("cl")).orderBy(col("avg_dist"), col("a_id"))
+    avgd.withColumn("medoid_rank", row_number().over(w))
+      .filter(col("medoid_rank") <= n)
+      .select(col("a_id").as(idCol), col("cl").as(clusterCol), col("medoid_rank"))
+  }
+}
