@@ -39,6 +39,16 @@ object SparkEntry {
     "q20_medoids_pairwise" -> (NlpQueries.q20MedoidsPairwise _),
     "q21_summarize_medoids"-> (NlpQueries.q21SummarizeMedoids _),
     "q22_viz_frame"        -> (NlpQueries.q22VizFrame _),
+    "q23_dedup_exact"      -> (DedupQueries.q23DedupExact _),
+    "q24_minhash_sig"      -> (DedupQueries.q24MinhashSig _),
+    "q25_neardup_lsh"      -> (DedupQueries.q25NeardupLsh _),
+    "q26_simhash"          -> (DedupQueries.q26Simhash _),
+    "q27_embed_neardup"    -> (SimQueries.q27EmbedNeardup _),
+    "q28_ann_topk"         -> (SimQueries.q28AnnTopk _),
+    "q29_lang_id"          -> (TextStatsQueries.q29LangId _),
+    "q30_quality"          -> (TextStatsQueries.q30Quality _),
+    "q31_token_count"      -> (TextStatsQueries.q31TokenCount _),
+    "q32_fingerprint"      -> (TextStatsQueries.q32Fingerprint _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -67,5 +77,15 @@ object SparkEntry {
     "q20_medoids_pairwise" -> NlpQueries.q20Sql,
     "q21_summarize_medoids"-> NlpQueries.q21Sql,
     "q22_viz_frame"        -> NlpQueries.q22Sql,
+    "q23_dedup_exact"      -> DedupQueries.q23Sql,
+    "q24_minhash_sig"      -> DedupQueries.q24Sql,
+    "q25_neardup_lsh"      -> DedupQueries.q25Sql,
+    "q26_simhash"          -> DedupQueries.q26Sql,
+    "q27_embed_neardup"    -> SimQueries.q27Sql,
+    "q28_ann_topk"         -> SimQueries.q28Sql,
+    "q29_lang_id"          -> TextStatsQueries.q29Sql,
+    "q30_quality"          -> TextStatsQueries.q30Sql,
+    "q31_token_count"      -> TextStatsQueries.q31Sql,
+    "q32_fingerprint"      -> TextStatsQueries.q32Sql,
   )
 }

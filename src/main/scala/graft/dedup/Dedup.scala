@@ -1,0 +1,156 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.nlp.text.Text
+
+/** Deduplication operators for large-scale training-data pipelines: exact
+  * (content-hash groupBy), MinHash+LSH (shingle → minhash → band → bucket
+  * join), SimHash, and exact n-gram Jaccard verification.
+  *
+  * Scale design: every strategy is a bounded number of shuffles keyed on
+  * hashes/bands — no all-pairs comparison ever materializes. MinHash bands
+  * turn near-dup search from O(n²) into a hash-join on band signatures whose
+  * fan-in AQE can skew-split; the exact-Jaccard verifier runs only on the
+  * candidate pairs the bands emit.
+  *
+  * Determinism: all hash families derive from md5 of explicit strings
+  * (seed|shingle), so signatures are reproducible across engines and runs —
+  * no JVM-hash or RNG dependence.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the smallest id as canonical.
+    * Returns (keep_id, n_dups) — callers semi-join on keep_id to filter.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signatures: for each of `numHashes` seeded hash functions,
+    * h_i(doc) = min over shingles of md5("i|" + shingle) (lexicographic min
+    * of the hex digest — a valid min-wise family, portable across engines).
+    * Output grain: (id, seed, minhash).
+    */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, numHashes: Int = 8): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    df.select(col(idCol), explode(Text.ngrams(toks, shingleSize)).as("sh"))
+      .select(col(idCol), col("sh"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
+      .groupBy(col(idCol), col("seed"))
+      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("sh")))).as("minhash"))
+  }
+
+  /** LSH banding over minhash signatures: seeds are grouped into bands of
+    * `bandRows`; docs sharing any full band signature become candidate
+    * pairs. One shuffle on (band, signature); a pair matching several bands
+    * is emitted once.
+    */
+  def lshCandidatePairs(signatures: DataFrame, idCol: String,
+                        bandRows: Int = 2): DataFrame = {
+    val bands = signatures
+      .withColumn("band", (col("seed") / lit(bandRows)).cast("int"))
+      .groupBy(col(idCol), col("band"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("seed"), col("minhash")))),
+        x => x("minhash")), "").as("sig"))
+    val a = bands.select(col(idCol).as("doc_a"), col("band"), col("sig"))
+    val b = bands.select(col(idCol).as("doc_b"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Estimated Jaccard for candidate pairs: fraction of agreeing minhashes.
+    * Exact rational arithmetic (matches / numHashes) → engine-portable.
+    */
+  def estimateJaccard(pairs: DataFrame, signatures: DataFrame,
+                      idCol: String): DataFrame = {
+    val sa = signatures.select(col(idCol).as("doc_a"), col("seed"),
+      col("minhash").as("ha"))
+    val sb = signatures.select(col(idCol).as("doc_b"), col("seed"),
+      col("minhash").as("hb"))
+    pairs.join(sa, "doc_a").join(sb, Seq("doc_b", "seed"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg((sum(when(col("ha") === col("hb"), 1).otherwise(0)) /
+            count(lit(1))).as("est_jaccard"))
+  }
+
+  /** SimHash: 64-bit signature from the doc's distinct tokens. Bit b of
+    * md5(token)'s first 16 hex digits votes ±1; the sign of the per-bit sum
+    * sets the signature bit. Emitted as a 64-char '0'/'1' string (bit 0
+    * first) — portable, and hamming distance is a cheap zip_with.
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(array_distinct(Text.tokens(col(textCol)))).as("tok"))
+    val bits = toks
+      .withColumn("h", md5(col("tok")))
+      .select(col(idCol), col("h"),
+        explode(sequence(lit(0), lit(63))).as("bit"))
+      .withColumn("hexv",
+        conv(col("h").substr((col("bit") / 4).cast("int") + 1, lit(1)), 16, 10)
+          .cast("int"))
+      // bit value without a column-shift builtin: floor(hexv / 2^(3-bit%4)) % 2
+      .withColumn("bitval",
+        (floor(col("hexv") / pow(lit(2), lit(3) - pmod(col("bit"), lit(4))))
+          .cast("int") % 2))
+    bits
+      .groupBy(col(idCol), col("bit"))
+      .agg(sum(when(col("bitval") === 1, 1).otherwise(-1)).as("vote"))
+      .withColumn("ch", when(col("vote") > 0, "1").otherwise("0"))
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("bit"), col("ch")))),
+        x => x("ch")), "").as("simhash"))
+  }
+
+  /** Verification stage: exact unigram-set Jaccard for the candidate pairs
+    * the bands emitted. Cost is O(pairs × tokens-per-doc) — the whole point
+    * of LSH is that `pairs` is tiny relative to n², so this join is cheap at
+    * any corpus size.
+    * Output: (doc_a, doc_b, jaccard).
+    */
+  def verifyPairs(pairs: DataFrame, df: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("vp_id"),
+      explode(array_distinct(Text.tokens(col(textCol)))).as("tok"))
+    val sizes = tok.groupBy(col("vp_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(tok.select(col("vp_id").as("doc_a"), col("tok")), "doc_a")
+      .join(tok.select(col("vp_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("vp_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("vp_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+  }
+
+  /** Exact n-gram (here: unigram set) Jaccard for candidate pairs restricted
+    * to a grouping key — the verification stage after LSH candidates, or a
+    * blocked all-pairs within small groups.
+    * Output: (doc_a, doc_b, jaccard) for same-group pairs sharing ≥1 token.
+    */
+  def jaccardWithinGroups(df: DataFrame, idCol: String, textCol: String,
+                          groupCols: Seq[String]): DataFrame = {
+    val tok = df.select((col(idCol) +: groupCols.map(col)) :+
+        explode(array_distinct(Text.tokens(col(textCol)))).as("tok"): _*)
+    val sizes = tok.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val a = tok.select(groupCols.map(col) :+ col(idCol).as("doc_a") :+ col("tok"): _*)
+    val b = tok.select(groupCols.map(col) :+ col(idCol).as("doc_b") :+ col("tok"): _*)
+    val inter = a.join(b, groupCols :+ "tok")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("inter") / (col("na") + col("nb") - col("inter")))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+}

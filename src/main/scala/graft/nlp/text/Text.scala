@@ -35,10 +35,13 @@ object Text {
     filter(split(c, "(?<=[.!?])\\s+"), s => trim(s) =!= "")
 
   /** F15: word n-grams (shingles) from a token array, joined by a space.
-    * transform over a sliced range keeps it codegen-friendly.
+    * transform over a sliced range keeps it codegen-friendly. Docs shorter
+    * than n tokens yield an empty array (slice(start=0) would throw).
     */
   def ngrams(toks: Column, n: Int): Column =
-    transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(-1))),
-      i => array_join(slice(toks, i + 1, lit(n)), " "))
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    .otherwise(array().cast("array<string>"))
 }

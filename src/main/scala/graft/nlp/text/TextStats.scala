@@ -1,0 +1,117 @@
+package graft.nlp.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-analysis operators for a training-data pipeline: language ID
+  * (char-n-gram profiles), quality scoring, token counting, and winnowing
+  * document fingerprints. All pure Column expressions / relational plans —
+  * no UDFs, everything stays in whole-stage codegen and scales linearly in
+  * corpus size (profiles are tiny broadcast dimensions).
+  */
+object TextStats {
+
+  /** Character n-grams of `textCol` as one row per (doc, position). */
+  private def charNgramRows(df: DataFrame, idCols: Seq[Column],
+                            textCol: String, n: Int): DataFrame =
+    df.filter(length(col(textCol)) >= n)
+      .select(idCols :+ explode(
+        sequence(lit(1), length(col(textCol)) - (n - 1))).as("i"): _*)
+      .withColumn("tri", col(textCol).substr(col("i"), lit(n)))
+
+  /** Cavnar–Trenkle-style language ID: per-language top-`profileSize` char
+    * trigram profiles learned from the labeled corpus itself, then each doc
+    * classified by |doc-trigrams ∩ profile| with deterministic tie-break on
+    * language code. Profiles are k·|langs| rows → broadcast join against the
+    * doc-trigram set; one aggregation per side, no n² anywhere.
+    * Output: (id, lang, pred_lang, correct).
+    */
+  def langIdByTrigram(df: DataFrame, idCol: String, textCol: String,
+                      langCol: String, profileSize: Int = 20): DataFrame = {
+    val tri = charNgramRows(df,
+      Seq(col(idCol), col(langCol), col(textCol)), textCol, 3)
+    val profile = tri.groupBy(col(langCol), col("tri"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(langCol)).orderBy(col("cnt").desc, col("tri"))))
+      .filter(col("rk") <= profileSize)
+      .select(col(langCol).as("prof_lang"), col("tri"))
+    val docTri = tri.select(col(idCol), col("tri")).distinct()
+    val best = docTri.join(broadcast(profile), "tri")
+      .groupBy(col(idCol), col("prof_lang"))
+      .agg(count(lit(1)).as("overlap"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("overlap").desc, col("prof_lang"))))
+      .filter(col("rk") === 1)
+      .select(col(idCol), col("prof_lang").as("pred_lang"))
+    df.select(col(idCol), col(langCol))
+      .join(best, Seq(idCol), "left")
+      .withColumn("correct", col(langCol) === col("pred_lang"))
+  }
+
+  /** Heuristic quality features + a composite score in [0,1]:
+    * length saturation × type-token diversity × (1 − stopword ratio).
+    * Output columns: n_tokens, n_distinct, stopword_ratio, chars_per_token,
+    * quality (ratios rounded to 6 dp; quality computed from raw ratios).
+    */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val stops = array(Text.stopwords.map(lit): _*)
+    val nTok = size(col("toks")).cast("long")
+    val nStop = size(filter(col("toks"), t => array_contains(stops, t)))
+    val stopRatio = nStop / nTok.cast("double")
+    val nDist = size(array_distinct(col("toks"))).cast("long")
+    df.withColumn("toks", toks)
+      .filter(size(col("toks")) > 0)
+      .withColumn("n_tokens", nTok)
+      .withColumn("n_distinct", nDist)
+      .withColumn("stopword_ratio", round(stopRatio, 6))
+      .withColumn("chars_per_token",
+        round(length(col(textCol)) / nTok.cast("double"), 6))
+      .withColumn("quality", round(
+        least(nTok / lit(100.0), lit(1.0)) *
+          (nDist.cast("double") / nTok) * (lit(1.0) - stopRatio), 6))
+      .drop("toks")
+  }
+
+  /** Token counting three ways: whitespace tokens, regex (BPE-ish
+    * pre-tokenizer: letter runs / digit runs / single other chars), and a
+    * chars/4 subword estimate. Output: tokens_ws, tokens_re, tokens_bpe_est.
+    */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("tokens_ws",
+        size(filter(split(col(textCol), " "), t => t =!= "")).cast("long"))
+      .withColumn("tokens_re",
+        regexp_count(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long"))
+      .withColumn("tokens_bpe_est",
+        ceil(length(col(textCol)) / lit(4.0)).cast("long"))
+
+  /** Winnowing fingerprint (Schleimer et al., SIGMOD'03 — public
+    * algorithm): hash every k-token shingle (first 8 hex chars of md5),
+    * take the min in each sliding window of `window` shingles, and
+    * fingerprint = md5 of the sorted distinct window-minima. Robust to
+    * local edits; two docs sharing most shingles share most minima.
+    * Output: (id, fingerprint, n_hashes) for docs with ≥ k tokens.
+    */
+  def winnowFingerprint(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, window: Int = 4): DataFrame = {
+    val tok = df.select(col(idCol), Text.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= k)
+    val sh = tok
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - (k - 1))).as("i"))
+      .select(col(idCol), col("i"),
+        substring(md5(array_join(slice(col("toks"), col("i"), lit(k)), " ")),
+          1, 8).as("h"))
+    val win = sh.withColumn("wm", min(col("h")).over(
+      Window.partitionBy(col(idCol)).orderBy(col("i"))
+        .rowsBetween(0, window - 1)))
+    win.select(col(idCol), col("wm")).distinct()
+      .groupBy(col(idCol))
+      .agg(
+        md5(array_join(array_sort(collect_list(col("wm"))), "")).as("fingerprint"),
+        count(lit(1)).as("n_hashes"))
+  }
+}

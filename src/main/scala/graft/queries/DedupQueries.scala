@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.Dedup
+
+/** Oracle queries for the dedup operators (training-data-pipeline suite):
+  * exact hash dedup, MinHash signatures, LSH near-dup candidates with
+  * estimate + exact-Jaccard verification, SimHash. All md5-seeded →
+  * bit-identical across Spark and the DuckDB oracle.
+  */
+object DedupQueries {
+
+  /** q23: exact dedup by content hash (keep smallest id as canonical). */
+  def q23DedupExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.exact(Tables(spark, dir, "documents"), "doc_id", "text")
+      .orderBy($"content_md5")
+  }
+
+  val q23Sql: String =
+    """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_dups
+      |FROM documents GROUP BY 1 ORDER BY content_md5""".stripMargin
+
+  /** q24: MinHash signatures (8 seeded hashes over 3-token shingles). */
+  def q24MinhashSig(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.minHashSignatures(Tables(spark, dir, "documents"),
+        "doc_id", "text", shingleSize = 3, numHashes = 8)
+      .withColumn("seed", $"seed".cast("long"))
+      .orderBy($"doc_id", $"seed")
+  }
+
+  val q24Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents
+      |), pos AS (
+      |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+      |  FROM tok WHERE len(toks) >= 3
+      |), sh AS (
+      |  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS sh FROM pos
+      |), seeded AS (
+      |  SELECT doc_id, sh, unnest(generate_series(0, 7)) AS seed FROM sh)
+      |SELECT doc_id, CAST(seed AS BIGINT) AS seed,
+      |  MIN(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS minhash
+      |FROM seeded GROUP BY doc_id, seed ORDER BY doc_id, seed""".stripMargin
+
+  /** q25: near-dup detection end to end — LSH banding (4 bands × 2 rows)
+    * emits candidate pairs, each scored by minhash-estimated Jaccard and
+    * verified with exact unigram-set Jaccard. The n² never materializes:
+    * only band-collision pairs are compared.
+    */
+  def q25NeardupLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val sig = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 8)
+    val pairs = Dedup.lshCandidatePairs(sig, "doc_id", bandRows = 2)
+    Dedup.estimateJaccard(pairs, sig, "doc_id")
+      .join(Dedup.verifyPairs(pairs, docs, "doc_id", "text"),
+        Seq("doc_a", "doc_b"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q25Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents
+      |), pos AS (
+      |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+      |  FROM tok WHERE len(toks) >= 3
+      |), sh AS (
+      |  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS sh FROM pos
+      |), seeded AS (
+      |  SELECT doc_id, sh, unnest(generate_series(0, 7)) AS seed FROM sh
+      |), sig AS (
+      |  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS minhash
+      |  FROM seeded GROUP BY doc_id, seed
+      |), bands AS (
+      |  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+      |    string_agg(minhash, '' ORDER BY seed) AS bsig
+      |  FROM sig GROUP BY doc_id, band
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+      |), est AS (
+      |  SELECT doc_a, doc_b,
+      |    SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / COUNT(*) AS est_jaccard
+      |  FROM cand JOIN sig sa ON sa.doc_id = doc_a
+      |            JOIN sig sb ON sb.doc_id = doc_b AND sb.seed = sa.seed
+      |  GROUP BY doc_a, doc_b
+      |), dtok AS (
+      |  SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM tok
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM dtok GROUP BY doc_id
+      |), inter AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      |  FROM cand c JOIN dtok ta ON ta.doc_id = c.doc_a
+      |              JOIN dtok tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+      |  GROUP BY c.doc_a, c.doc_b)
+      |SELECT e.doc_a, e.doc_b, e.est_jaccard,
+      |  i.i / (na.n + nb.n - i.i) AS jaccard
+      |FROM est e JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+      |  JOIN sizes na ON na.doc_id = e.doc_a
+      |  JOIN sizes nb ON nb.doc_id = e.doc_b
+      |ORDER BY e.doc_a, e.doc_b""".stripMargin
+
+  /** q26: SimHash 64-bit signature per doc (as '0'/'1' string). */
+  def q26Simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.simHash(Tables(spark, dir, "documents"), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  val q26Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_filter(string_split(text,' '), t -> t <> ''))) AS tok
+      |  FROM documents
+      |), h AS (SELECT doc_id, md5(tok) AS h FROM tok
+      |), bits AS (SELECT doc_id, h, unnest(generate_series(0, 63)) AS bit FROM h
+      |), bv AS (
+      |  SELECT doc_id, bit,
+      |    CAST(floor((strpos('0123456789abcdef', substr(h, CAST(bit // 4 AS INT) + 1, 1)) - 1)
+      |         / pow(2, 3 - (bit % 4))) AS INT) % 2 AS bitval
+      |  FROM bits
+      |), votes AS (
+      |  SELECT doc_id, bit, SUM(CASE WHEN bitval = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM bv GROUP BY doc_id, bit)
+      |SELECT doc_id,
+      |  string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS simhash
+      |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.nlp.text.{Text, TextStats}
+
+/** Oracle queries for the text-analysis operators: language ID, quality
+  * scoring, token counting, winnowing fingerprints.
+  */
+object TextStatsQueries {
+
+  private val stopListSql = Text.stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** q29: char-trigram language ID (profiles learned per labeled lang,
+    * docs classified by profile overlap).
+    */
+  def q29LangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    TextStats.langIdByTrigram(Tables(spark, dir, "documents"),
+        "doc_id", "text", "lang", profileSize = 20)
+      .select($"doc_id", $"lang",
+        coalesce($"pred_lang", lit("und")).as("pred_lang"),
+        coalesce($"correct", lit(false)).as("correct"))
+      .orderBy($"doc_id")
+  }
+
+  val q29Sql: String =
+    """WITH tri AS (
+      |  SELECT doc_id, lang, substr(text, i, 3) AS tri
+      |  FROM (SELECT doc_id, lang, text,
+      |          unnest(generate_series(1, length(text) - 2)) AS i
+      |        FROM documents WHERE length(text) >= 3)
+      |), prof AS (
+      |  SELECT lang, tri,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, tri) AS rk
+      |  FROM tri GROUP BY lang, tri QUALIFY rk <= 20
+      |), doctri AS (
+      |  SELECT DISTINCT doc_id, tri FROM tri
+      |), score AS (
+      |  SELECT doc_id, lang, COUNT(*) AS overlap
+      |  FROM doctri d JOIN prof p USING (tri)
+      |  GROUP BY doc_id, lang
+      |), best AS (
+      |  SELECT doc_id, lang AS pred_lang,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY overlap DESC, lang) AS rk
+      |  FROM score QUALIFY rk = 1)
+      |SELECT d.doc_id, d.lang,
+      |  COALESCE(b.pred_lang, 'und') AS pred_lang,
+      |  COALESCE(d.lang = b.pred_lang, FALSE) AS correct
+      |FROM documents d LEFT JOIN best b USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
+  /** q30: quality features + composite score per doc. */
+  def q30Quality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    TextStats.qualityScore(Tables(spark, dir, "documents"), "text")
+      .select($"doc_id", $"n_tokens", $"n_distinct", $"stopword_ratio",
+        $"chars_per_token", $"quality")
+      .orderBy($"doc_id")
+  }
+
+  val q30Sql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, length(text) AS n_chars_t,
+      |    list_filter(string_split(regexp_replace(regexp_replace(lower(text),
+      |      '[^\\w\\s]', '', 'g'), '\\d+', '', 'g'), ' '), t -> t <> '') AS toks
+      |  FROM documents
+      |), raw AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+      |    len(list_filter(toks, t -> t IN ($stopListSql))) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+      |    n_chars_t / CAST(len(toks) AS DOUBLE) AS cpt
+      |  FROM tok WHERE len(toks) > 0)
+      |SELECT doc_id, n_tokens, n_distinct,
+      |  round(stop_ratio, 6) AS stopword_ratio,
+      |  round(cpt, 6) AS chars_per_token,
+      |  round(least(n_tokens / 100.0, 1.0) * (n_distinct / CAST(n_tokens AS DOUBLE))
+      |        * (1.0 - stop_ratio), 6) AS quality
+      |FROM raw ORDER BY doc_id""".stripMargin
+
+  /** q31: token counting — whitespace, BPE-ish regex, chars/4 estimate. */
+  def q31TokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    TextStats.tokenCounts(Tables(spark, dir, "documents"), "text")
+      .select($"doc_id", $"tokens_ws", $"tokens_re", $"tokens_bpe_est")
+      .orderBy($"doc_id")
+  }
+
+  val q31Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS tokens_ws,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS tokens_re,
+      |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS tokens_bpe_est
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q32: winnowing document fingerprint (k=3 shingles, window=4). */
+  def q32Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    TextStats.winnowFingerprint(Tables(spark, dir, "documents"),
+        "doc_id", "text", k = 3, window = 4)
+      .orderBy($"doc_id")
+  }
+
+  val q32Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents
+      |), pos AS (
+      |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+      |  FROM tok WHERE len(toks) >= 3
+      |), sh AS (
+      |  SELECT doc_id, i, substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 8) AS h
+      |  FROM pos
+      |), win AS (
+      |  SELECT doc_id, MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+      |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm
+      |  FROM sh
+      |), dw AS (SELECT DISTINCT doc_id, wm FROM win)
+      |SELECT doc_id, md5(string_agg(wm, '' ORDER BY wm)) AS fingerprint,
+      |  CAST(COUNT(*) AS BIGINT) AS n_hashes
+      |FROM dw GROUP BY doc_id ORDER BY doc_id""".stripMargin
+}

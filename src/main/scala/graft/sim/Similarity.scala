@@ -1,0 +1,64 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorOps
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, per the scale plan:
+  *   - [[bruteForceTopK]]: exact cosine top-k. The query side is broadcast
+  *     (it is by construction small), so the corpus is scanned once with no
+  *     shuffle — a BroadcastNestedLoopJoin whose inner loop is a codegen'd
+  *     `aggregate(zip_with(...))` dot product. Linear in |corpus|, which is
+  *     the right baseline and the verifier for any ANN variant.
+  *   - [[bucketedPairs]]: LSH-bucketed near-neighbor pairs. Buckets come
+  *     from axis-aligned hyperplane signs (sign of the first `bits`
+  *     coordinates) — a deterministic member of the random-hyperplane
+  *     cosine-LSH family, portable across engines (no RNG). One shuffle on
+  *     the bucket key; pair generation is a self-equi-join per bucket, so
+  *     cost is Σ bucket² not n². AQE skew-join splits hot buckets.
+  */
+object Similarity {
+
+  /** Sign-pattern bucket over the first `bits` coordinates: "1" if ≥ 0. */
+  def signBucket(vec: Column, bits: Int): Column =
+    array_join(transform(slice(vec, 1, bits),
+      x => when(x >= 0, "1").otherwise("0")), "")
+
+  /** All same-bucket pairs with their exact cosine, rounded to 6 dp.
+    * Output: (vec_a, vec_b, cosine), vec_a < vec_b.
+    */
+  def bucketedPairs(df: DataFrame, idCol: String, vecCol: String,
+                    bits: Int = 8): DataFrame = {
+    val b = df.select(col(idCol), col(vecCol),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val a = b.select(col(idCol).as("vec_a"), col(vecCol).as("va"), col("bucket"))
+    val c = b.select(col(idCol).as("vec_b"), col(vecCol).as("vb"), col("bucket"))
+    a.join(c, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(VectorOps.cosine(col("va"), col("vb")), 6).as("cosine"))
+  }
+
+  /** Exact cosine top-k neighbors for each row of `queries` against
+    * `corpus`. Ranking is on the ROUNDED cosine with id tie-break so the
+    * ordering is reproducible across engines/float-sum orders.
+    * Output: (query_id, rk, neighbor_id, cosine).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(VectorOps.cosine(col("qv"), col("cv")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("neighbor_id"), col("cosine"))
+  }
+}
