@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.clean.Cleaner
+
+class CleanerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalize collapses whitespace and strips tags") {
+    val got = Seq("a\tb   c\n<b>d</b>").toDF("t")
+      .select(Cleaner.normalize($"t")).head.getString(0)
+    assert(got == "a b c d")
+  }
+
+  test("nullIfBlacklisted nulls on case-insensitive phrase hit") {
+    val got = Seq("Please SUBSCRIBE now", "fine text").toDF("t")
+      .select(Cleaner.nullIfBlacklisted($"t")).collect.map(r => Option(r.getString(0)))
+    assert(got.toSeq == Seq(None, Some("fine text")))
+  }
+
+  test("nullIfBoilerplate nulls urls/emails/phones/tags") {
+    val rows = Seq("see https://x.io/a", "mail a.b@x.io ok",
+      "call +1 (415) 555-0199 now", "has <div> tag", "clean prose")
+    val got = rows.toDF("t")
+      .select(Cleaner.nullIfBoilerplate($"t")).collect.map(r => Option(r.getString(0)))
+    assert(got.toSeq == Seq(None, None, None, None, Some("clean prose")))
+  }
+
+  test("nullIfShort respects per-column minimum") {
+    val got = Seq("short", "long enough indeed!!").toDF("t")
+      .select(Cleaner.nullIfShort($"t", 20)).collect.map(r => Option(r.getString(0)))
+    assert(got.toSeq == Seq(None, Some("long enough indeed!!")))
+  }
+
+  test("clean drops rows with any flagged required column and is idempotent") {
+    val ok = "x" * 25
+    val df = Seq(
+      (ok, "javascript " + "y" * 100),    // description blacklisted -> dropped
+      (ok, "z" * 120),                    // survives
+      ("tiny", "w" * 120)                 // title too short -> dropped
+    ).toDF("title", "description")
+    val once = Cleaner.clean(df, Seq("title", "description"))
+    assert(once.count() == 1)
+    val twice = Cleaner.clean(once, Seq("title", "description"))
+    assert(twice.collect().toSeq == once.collect().toSeq)
+  }
+}

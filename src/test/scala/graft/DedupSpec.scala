@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "alpha beta gamma delta epsilon zeta"),
+    (1L, "alpha beta gamma delta epsilon zeta"),          // exact dup of 0
+    (2L, "alpha beta gamma delta epsilon eta"),           // near dup of 0
+    (3L, "one two three four five six seven eight nine")  // unrelated
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+    assert(got.count() == 3)
+    val dupRow = got.filter($"n_dups" === 2).head
+    assert(dupRow.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("identical docs share the full minhash signature") {
+    val sig = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 8)
+    assert(sig.filter($"doc_id" === 0).count() == 8)
+    val s0 = sig.filter($"doc_id" === 0).orderBy($"seed").collect.map(_.getString(2))
+    val s1 = sig.filter($"doc_id" === 1).orderBy($"seed").collect.map(_.getString(2))
+    assert(s0.toSeq == s1.toSeq)
+  }
+
+  test("LSH emits the exact-dup pair; estimate and exact jaccard agree at 1.0") {
+    val sig = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 8)
+    val pairs = Dedup.lshCandidatePairs(sig, "doc_id", 2)
+    val got = pairs.collect.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)))
+    assert(!got.exists { case (a, b) => b == 3L || a == 3L })
+    val est = Dedup.estimateJaccard(pairs, sig, "doc_id")
+      .filter($"doc_a" === 0 && $"doc_b" === 1).head.getDouble(2)
+    assert(est == 1.0)
+    val exact = Dedup.verifyPairs(pairs, docs, "doc_id", "text")
+      .filter($"doc_a" === 0 && $"doc_b" === 1).head.getDouble(2)
+    assert(exact == 1.0)
+  }
+
+  test("simhash: 64 bits, equal for dups, close for near-dups, far for unrelated") {
+    val sh = Dedup.simHash(docs, "doc_id", "text")
+      .collect.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sh.values.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+    assert(sh(0L) == sh(1L))
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(ham(sh(0L), sh(2L)) < ham(sh(0L), sh(3L)))
+  }
+
+  test("jaccardWithinGroups computes exact set jaccard") {
+    val grouped = docs.withColumn("g", lit("x"))
+    val j = Dedup.jaccardWithinGroups(grouped, "doc_id", "text", Seq("g"))
+      .filter($"doc_a" === 0 && $"doc_b" === 2).head.getDouble(2)
+    assert(math.abs(j - 5.0 / 7.0) < 1e-12) // 5 shared of 7 distinct tokens
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sim.Similarity
+import graft.functions.VectorOps
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),   // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f))   // opposite of 0
+  ).toDF("vec_id", "embedding")
+
+  test("VectorOps dot/norm/cosine exact on unit vectors") {
+    val df = Seq((Array(1.0f, 0f, 0f), Array(0f, 1.0f, 0f))).toDF("a", "b")
+    assert(df.select(VectorOps.dot($"a", $"b")).head.getDouble(0) == 0.0)
+    assert(df.select(VectorOps.norm($"a")).head.getDouble(0) == 1.0)
+    val same = Seq((Array(3.0f, 4.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    assert(math.abs(same.select(VectorOps.cosine($"a", $"b")).head.getDouble(0) - 1.0) < 1e-12)
+    assert(same.select(VectorOps.norm($"a")).head.getDouble(0) == 5.0)
+  }
+
+  test("bruteForceTopK ranks the near vector first, opposite last") {
+    val got = Similarity.bruteForceTopK(
+        vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", 3)
+      .orderBy($"rk").collect.map(_.getAs[Long]("neighbor_id"))
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("signBucket groups by sign pattern; bucketed pairs stay in-bucket") {
+    val pairs = Similarity.bucketedPairs(vecs, "vec_id", "embedding", 3)
+      .collect.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 0,1,2 share bucket "111" (all coords >= 0); 3 is alone in "011"
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+}
