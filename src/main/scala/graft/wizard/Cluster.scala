@@ -1,0 +1,101 @@
+package graft.wizard
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.evaluation.ClusteringEvaluator
+import org.apache.spark.ml.param.ParamMap
+import org.apache.spark.ml.feature.PCA
+import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
+import org.apache.spark.storage.StorageLevel
+
+/** Clustering + dimensionality reduction (reference word_wizard.py:233-296,
+  * 513-559, 675-717 — operators B3/B7).
+  *
+  * MLlib KMeans with a fixed seed replaces sklearn KMeans; the silhouette
+  * scan over candidate k is the reference's `_k_search` (word_wizard.py:
+  * 675-717) with the interactive elbow input dropped (not reproducible —
+  * SURVEY.md §2.10 B3). The vector frame is persisted once and every
+  * candidate fit reuses it — the reference refits on the same matrix 13
+  * times; here that costs one cache materialization + k driver-side fits
+  * over executors.
+  *
+  * PCA stands in for UMAP (documented deviation, SURVEY.md §7.3): UMAP is
+  * stochastic and has no Spark-native equivalent; downstream consumers need
+  * only the (n, 2) shape and grain.
+  */
+object Cluster {
+
+  private def toVec = udf((a: Seq[Float]) =>
+    Vectors.dense(a.map(_.toDouble).toArray))
+  private def toArr = udf((v: MlVector) => v.toArray.map(_.toFloat))
+
+  /** One KMeans fit. solver=row: the 4.1 block solver crashes with an
+    * ArrayIndexOutOfBounds when kmeans|| init finds fewer distinct centers
+    * than k (near-duplicate-heavy corpora hit this); the row solver pads
+    * duplicate centers and proceeds.
+    */
+  private def fitKMeans(withVec: DataFrame, tmp: String, outCol: String,
+                        k: Int, seed: Long): KMeansModel = {
+    val km = new KMeans().setK(k).setSeed(seed)
+      .setFeaturesCol(tmp).setPredictionCol(outCol)
+    km.fit(withVec, ParamMap(km.solver -> "row"))
+  }
+
+  /** KMeans labels for `vecCol` (array<float>) as `outCol: int`. */
+  def kmeans(df: DataFrame, vecCol: String, outCol: String, k: Int,
+             seed: Long = 42L): DataFrame = {
+    val tmp = vecCol + "_mlvec"
+    val withVec = df.withColumn(tmp, toVec(col(vecCol)))
+    fitKMeans(withVec, tmp, outCol, k, seed).transform(withVec).drop(tmp)
+  }
+
+  /** Silhouette scan: fit k ∈ [kMin, kMax), keep the best-silhouette model
+    * (reference scans k∈[2,15) then floors at k≥5; pass the floor as kMin).
+    * Returns (bestK, labeled df). The input is persisted for the scan and
+    * unpersisted before return.
+    */
+  def kmeansSilhouette(df: DataFrame, vecCol: String, outCol: String,
+                       kMin: Int = 2, kMax: Int = 15,
+                       seed: Long = 42L): (Int, DataFrame) = {
+    require(kMax > kMin && kMin >= 2, s"need 2 <= kMin < kMax, got [$kMin,$kMax)")
+    val tmp = vecCol + "_mlvec"
+    val withVec = df.withColumn(tmp, toVec(col(vecCol)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val eval = new ClusteringEvaluator()
+        .setFeaturesCol(tmp).setPredictionCol(outCol)
+      val scored = (kMin until kMax).map { k =>
+        val m = fitKMeans(withVec, tmp, outCol, k, seed)
+        val s = eval.evaluate(m.transform(withVec))
+        (k, s, m)
+      }
+      val (bestK, _, bestM) = scored.maxBy(t => (t._2, -t._1))
+      (bestK, bestM.transform(withVec).drop(tmp))
+    } finally withVec.unpersist()
+  }
+
+  /** Add a boolean medoid flag (`outCol`): the n rows closest to their
+    * cluster centroid (reference word_wizard.py:719-735, W1).
+    */
+  def medoidFlag(df: DataFrame, idCol: String, clusterCol: String,
+                 vecCol: String, outCol: String, n: Int = 2): DataFrame = {
+    val ranked = Medoids.byCentroid(df, idCol, clusterCol, vecCol, n)
+      .select(col(idCol), lit(true).as(outCol))
+    df.join(ranked, Seq(idCol), "left")
+      .withColumn(outCol, coalesce(col(outCol), lit(false)))
+  }
+
+  /** PCA to `nComponents` dims: `vecCol` → `outCol: array<float>`. */
+  def reduce(df: DataFrame, vecCol: String, outCol: String,
+             nComponents: Int = 2): DataFrame = {
+    val tmp = vecCol + "_mlvec"
+    val withVec = df.withColumn(tmp, toVec(col(vecCol)))
+    val model = new PCA().setK(nComponents)
+      .setInputCol(tmp).setOutputCol(outCol + "_mlvec")
+      .fit(withVec)
+    model.transform(withVec)
+      .withColumn(outCol, toArr(col(outCol + "_mlvec")))
+      .drop(tmp, outCol + "_mlvec")
+  }
+}
