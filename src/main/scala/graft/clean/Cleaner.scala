@@ -71,4 +71,38 @@ object Cleaner {
     }
     flagged.na.drop("any", present)
   }
+
+  /** P12: pick the longer of two strings; EXACT tie → "" — the reference's
+    * initialize-then-overwrite quirk (content_cleaner.py:106-113), kept
+    * when `strictParity` (FIXTURES.md quirk 1), else ties keep `a`.
+    */
+  def longestOf(a: Column, b: Column, strictParity: Boolean = true): Column =
+    if (strictParity)
+      when(length(a) > length(b), a)
+        .when(length(a) < length(b), b).otherwise(lit(""))
+    else when(length(b) > length(a), b).otherwise(a)
+
+  /** The full ETL cleaning stage over the merged links×content frame
+    * (content_cleaner.py:5-131): fillna "" (P5) → longest-of body/title
+    * coalesce (P12) → rename to canonical names (P4) → flag-then-drop
+    * (P7–P11) → canonical 8-column projection (P6). Pure column
+    * expressions end to end — one codegen stage, no shuffle.
+    */
+  def cleanArticles(df: DataFrame, strictParity: Boolean = false): DataFrame = {
+    val strCols = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType).map(_.name)
+    val filled = df.na.fill("", strCols)
+    val coalesced = filled
+      .withColumn("body", longestOf(col("n3k_body"), col("bs_body"), strictParity))
+      .withColumn("title", longestOf(col("n3k_title"), col("bs_title"), strictParity))
+      .withColumn("title",
+        when(length(col("se_title")) > length(col("title")), col("se_title"))
+          .otherwise(col("title")))
+      .withColumnRenamed("se_link", "link")
+      .withColumnRenamed("se_description", "description")
+      .withColumnRenamed("se_source", "source")
+    clean(coalesced)
+      .select("article_index", "engine", "link", "source",
+        "title", "description", "body", "paragraph")
+  }
 }
