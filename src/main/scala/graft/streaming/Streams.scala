@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming re-expression of the reference's incremental-ingest
+  * patterns (SURVEY.md §2.9). The reference batch-polls paginated sources,
+  * stops on repeated page hashes, dedups by URL and tolerates per-row
+  * failures; in Spark those become: micro-batch sources, `dropDuplicates`
+  * with a watermark-bounded state, event-time windowed aggregation, and
+  * stateful per-key processing with timeouts.
+  *
+  * All operators take/return (streaming) DataFrames — the same column
+  * contracts as the batch pipeline, so `foreachBatch` can reuse the batch
+  * cleaner verbatim (batch-over-stream, Trigger.AvailableNow).
+  */
+object Streams {
+
+  /** Cross-engine URL dedup on a stream (J3 streaming form): state bounded
+    * by the watermark — a link older than `delay` can no longer produce a
+    * duplicate, so its dedup state is dropped instead of growing forever
+    * (the unbounded-state trap of naive streaming dedup).
+    */
+  def dedupLinks(links: DataFrame, tsCol: String = "ts",
+                 delay: String = "10 minutes"): DataFrame =
+    links.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("se_link")
+
+  /** Event-time tumbling/sliding window counts + value sum per event_type
+    * (events-table shape). Late rows beyond `delay` are dropped at the
+    * watermark; the aggregation state closes per window.
+    */
+  def windowedEventStats(events: DataFrame, tsCol: String = "ts",
+                         windowLen: String = "1 minute",
+                         slide: Option[String] = None,
+                         delay: String = "2 minutes"): DataFrame = {
+    val win = slide match {
+      case Some(s) => window(col(tsCol), windowLen, s)
+      case None    => window(col(tsCol), windowLen)
+    }
+    events.withWatermark(tsCol, delay)
+      .groupBy(win.as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+  }
+
+  final case class Event(ts: Timestamp, user_id: Long, event_type: String,
+                         value: Double)
+  final case class SessionState(nEvents: Long, sumValue: Double,
+                                lastTs: Long)
+  final case class SessionOut(user_id: Long, n_events: Long,
+                              sum_value: Double, closed_by_timeout: Boolean)
+
+  /** Stateful per-user sessionization via mapGroupsWithState: accumulates
+    * per-user counters; with `timeoutMs` set, the session closes (state
+    * dropped) when the user goes quiet that long (custom state the
+    * reference's batch loops can't express incrementally). Timeout is
+    * opt-in: ProcessingTimeTimeout keeps micro-batches firing on a clock,
+    * which deterministic tests (processAllAvailable) must avoid.
+    */
+  def sessionize(events: Dataset[Event],
+                 timeoutMs: Option[Long] = None): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = if (timeoutMs.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](timeoutConf) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionOut(userId, s.nEvents, s.sumValue, closed_by_timeout = true)
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            val batch = rows.toSeq
+            val next = SessionState(
+              prev.nEvents + batch.size,
+              prev.sumValue + batch.map(_.value).sum,
+              batch.map(_.ts.getTime).foldLeft(prev.lastTs)(math.max))
+            state.update(next)
+            timeoutMs.foreach(state.setTimeoutDuration)
+            SessionOut(userId, next.nEvents, next.sumValue, closed_by_timeout = false)
+          }
+      }
+  }
+
+  /** Page-hash quiescence detection (the reference's md5-page stop,
+    * link_extractor.py:317-324, as a streaming filter): drop micro-batch
+    * rows whose page content hash repeats the previous page's — state
+    * bounded by watermark, keyed per engine.
+    */
+  def dropRepeatedPages(pages: DataFrame, tsCol: String = "ts",
+                        delay: String = "10 minutes"): DataFrame =
+    pages.withColumn("page_md5", md5(col("page_html")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("engine", "page_md5")
+}
