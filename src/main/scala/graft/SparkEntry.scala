@@ -49,6 +49,7 @@ object SparkEntry {
     "q30_quality"          -> (TextStatsQueries.q30Quality _),
     "q31_token_count"      -> (TextStatsQueries.q31TokenCount _),
     "q32_fingerprint"      -> (TextStatsQueries.q32Fingerprint _),
+    "q33_binary_features"  -> (MultimodalQueries.q33BinaryFeatures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -87,5 +88,6 @@ object SparkEntry {
     "q30_quality"          -> TextStatsQueries.q30Sql,
     "q31_token_count"      -> TextStatsQueries.q31Sql,
     "q32_fingerprint"      -> TextStatsQueries.q32Sql,
+    "q33_binary_features"  -> MultimodalQueries.q33Sql,
   )
 }
