@@ -16,6 +16,7 @@ object Verify {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark has no type for;
       // read it as an exact nanos-since-epoch long (oracle: epoch_ns(ts)).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

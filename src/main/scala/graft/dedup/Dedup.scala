@@ -31,15 +31,24 @@ object Dedup {
     * h_i(doc) = min over shingles of md5("i|" + shingle) (lexicographic min
     * of the hex digest — a valid min-wise family, portable across engines).
     * Output grain: (id, seed, minhash).
+    *
+    * Plan shape: ONE shuffle at (id) grain with `numHashes` partial-agg min
+    * columns computed map-side, then a cheap 8-row-per-doc unpivot — not an
+    * (id, seed)-grain shuffle of shingles×seeds rows, which moves numHashes×
+    * the data for the same answer.
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, numHashes: Int = 8): DataFrame = {
-    val toks = Text.tokens(col(textCol))
-    df.select(col(idCol), explode(Text.ngrams(toks, shingleSize)).as("sh"))
-      .select(col(idCol), col("sh"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
-      .groupBy(col(idCol), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("sh")))).as("minhash"))
+    // materialize tokens as a column FIRST: inlining Text.tokens into the
+    // ngrams lambda would re-run the regex tokenizer once per shingle
+    // (slice(toks,...) evaluates its input per transform element)
+    val sh = df.select(col(idCol), Text.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(Text.ngrams(col("toks"), shingleSize)).as("sh"))
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"h$i"))
+    val wide = sh.groupBy(col(idCol)).agg(aggs.head, aggs.drop(1): _*)
+    val kv = (0 until numHashes).flatMap(i => Seq(lit(i), col(s"h$i")))
+    wide.select(col(idCol), explode(map(kv: _*)).as(Seq("seed", "minhash")))
   }
 
   /** LSH banding over minhash signatures: seeds are grouped into bands of

@@ -3,20 +3,28 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over ArrayType(Float/Double) columns using higher-order
-  * functions (F16; SURVEY.md §2.11). `aggregate(zip_with(...))` folds the
-  * array sequentially — deterministic summation order, unlike a shuffled
-  * SUM — and stays inside Catalyst (no UDF serialization per row).
+/** Vector math over ArrayType(Float) columns (F16; SURVEY.md §2.11).
+  *
+  * Default implementations are the native codegen'd Catalyst expressions
+  * (graft.functions.VecExprs — primitive loop inside whole-stage codegen);
+  * the `aggregate(zip_with(...))` higher-order forms are kept as `*Hof`
+  * for cross-checking in specs — both fold sequentially in index order on
+  * doubles, so results are bit-identical.
   */
 object VectorOps {
 
-  /** Σ aᵢ·bᵢ — dot product, sequential fold (order-deterministic). */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ — dot product (codegen'd primitive loop). */
+  def dot(a: Column, b: Column): Column = VecExprs.dot(a, b)
+
+  /** Σ (aᵢ−bᵢ)² — squared euclidean distance (codegen'd). */
+  def sqDist(a: Column, b: Column): Column = VecExprs.sqDist(a, b)
+
+  /** HOF reference forms (interpreted; spec cross-check only). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Σ (aᵢ−bᵢ)² — squared euclidean distance. */
-  def sqDist(a: Column, b: Column): Column =
+  def sqDistHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => {
       val d = x.cast("double") - y.cast("double")
       d * d

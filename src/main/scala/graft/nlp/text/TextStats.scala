@@ -31,13 +31,18 @@ object TextStats {
                       langCol: String, profileSize: Int = 20): DataFrame = {
     val tri = charNgramRows(df,
       Seq(col(idCol), col(langCol), col(textCol)), textCol, 3)
-    val profile = tri.groupBy(col(langCol), col("tri"))
-      .agg(count(lit(1)).as("cnt"))
+    // one pass over the exploded trigrams: (doc, tri) counts feed BOTH the
+    // profile aggregation and the distinct doc-trigram set (lang is
+    // functionally dependent on doc, so this grain is distinct (doc, tri))
+    val docTriCnt = tri.groupBy(col(idCol), col(langCol), col("tri"))
+      .agg(count(lit(1)).as("cnt")).cache()
+    val profile = docTriCnt.groupBy(col(langCol), col("tri"))
+      .agg(sum(col("cnt")).as("cnt"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col(langCol)).orderBy(col("cnt").desc, col("tri"))))
       .filter(col("rk") <= profileSize)
       .select(col(langCol).as("prof_lang"), col("tri"))
-    val docTri = tri.select(col(idCol), col("tri")).distinct()
+    val docTri = docTriCnt.select(col(idCol), col("tri"))
     val best = docTri.join(broadcast(profile), "tri")
       .groupBy(col(idCol), col("prof_lang"))
       .agg(count(lit(1)).as("overlap"))

@@ -55,8 +55,11 @@ object DedupQueries {
   def q25NeardupLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables(spark, dir, "documents")
-    val sig = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 8)
-    val pairs = Dedup.lshCandidatePairs(sig, "doc_id", bandRows = 2)
+    // the signature subtree feeds banding + both sides of the estimate —
+    // materialize once (tiny: numHashes rows/doc) instead of recomputing
+    // the shingle scan three times
+    val sig = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 8).cache()
+    val pairs = Dedup.lshCandidatePairs(sig, "doc_id", bandRows = 2).cache()
     Dedup.estimateJaccard(pairs, sig, "doc_id")
       .join(Dedup.verifyPairs(pairs, docs, "doc_id", "text"),
         Seq("doc_a", "doc_b"))

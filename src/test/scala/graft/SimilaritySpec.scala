@@ -14,6 +14,25 @@ class SimilaritySpec extends SparkSpec {
     (3L, Array(-1.0f, 0.0f, 0.0f))   // opposite of 0
   ).toDF("vec_id", "embedding")
 
+  test("native codegen expressions agree bit-for-bit with HOF forms") {
+    val df = Seq(
+      (Array(1.5f, -2.25f, 3.125f, 0.001f), Array(0.5f, 4.75f, -1.5f, 2.125f))
+    ).toDF("a", "b")
+    val r = df.select(
+      VectorOps.dot($"a", $"b"), VectorOps.dotHof($"a", $"b"),
+      VectorOps.sqDist($"a", $"b"), VectorOps.sqDistHof($"a", $"b")).head
+    assert(r.getDouble(0) == r.getDouble(1))
+    assert(r.getDouble(2) == r.getDouble(3))
+  }
+
+  test("vec_dot / vec_sqdist usable from SQL via GraftExtensions") {
+    val r = spark.sql(
+      """SELECT vec_dot(array(float(1.0), float(2.0)), array(float(3.0), float(4.0))) AS d,
+        |       vec_sqdist(array(float(1.0), float(2.0)), array(float(3.0), float(4.0))) AS s
+        |""".stripMargin).head
+    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 8.0)
+  }
+
   test("VectorOps dot/norm/cosine exact on unit vectors") {
     val df = Seq((Array(1.0f, 0f, 0f), Array(0f, 1.0f, 0f))).toDF("a", "b")
     assert(df.select(VectorOps.dot($"a", $"b")).head.getDouble(0) == 0.0)
