@@ -50,6 +50,7 @@ object SparkEntry {
     "q31_token_count"      -> (TextStatsQueries.q31TokenCount _),
     "q32_fingerprint"      -> (TextStatsQueries.q32Fingerprint _),
     "q33_binary_features"  -> (MultimodalQueries.q33BinaryFeatures _),
+    "q34_event_windows"    -> (EventQueries.q34EventWindows _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -89,5 +90,6 @@ object SparkEntry {
     "q31_token_count"      -> TextStatsQueries.q31Sql,
     "q32_fingerprint"      -> TextStatsQueries.q32Sql,
     "q33_binary_features"  -> MultimodalQueries.q33Sql,
+    "q34_event_windows"    -> EventQueries.q34Sql,
   )
 }

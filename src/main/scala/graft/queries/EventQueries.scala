@@ -1,0 +1,37 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.util.Exact
+
+/** Batch twin of the streaming operators (graft.streaming.Streams): the
+  * same event-time windowed aggregation a `readStream` pipeline runs with
+  * a watermark, here over the at-rest events table — Trigger.AvailableNow
+  * semantics. events.ts is parquet TIMESTAMP(NANOS), read as a nanos long
+  * (spark.sql.legacy.parquet.nanosAsLong) and bucketed via Spark's
+  * window() after an exact integer nanos→micros conversion.
+  */
+object EventQueries {
+
+  /** q34: tumbling 1-hour event-time windows × event_type, with exact
+    * decimal value sums (order-independent — see graft.util.Exact).
+    */
+  def q34EventWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window($"tsm", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), Exact.dsum($"value").as("sum_value"))
+      .select((unix_micros($"w.start") * 1000).as("window_ns"),
+        $"event_type", $"n_events", $"sum_value")
+      .orderBy($"window_ns", $"event_type")
+  }
+
+  val q34Sql: String =
+    """SELECT
+      |  epoch_us(time_bucket(INTERVAL '1 hour', make_timestamp(epoch_ns(ts) // 1000))) * 1000 AS window_ns,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_ns, event_type""".stripMargin
+}
