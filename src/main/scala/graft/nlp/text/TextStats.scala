@@ -66,7 +66,10 @@ object TextStats {
     val stops = array(Text.stopwords.map(lit): _*)
     val nTok = size(col("toks")).cast("long")
     val nStop = size(filter(col("toks"), t => array_contains(stops, t)))
-    val stopRatio = nStop / nTok.cast("double")
+    // divisions guarded: under ANSI (Spark 4 default) plan reshuffling can
+    // evaluate the projection on zero-token rows the filter later drops
+    val safeTok = when(nTok > 0, nTok.cast("double"))
+    val stopRatio = nStop / safeTok
     val nDist = size(array_distinct(col("toks"))).cast("long")
     df.withColumn("toks", toks)
       .filter(size(col("toks")) > 0)
@@ -74,10 +77,10 @@ object TextStats {
       .withColumn("n_distinct", nDist)
       .withColumn("stopword_ratio", round(stopRatio, 6))
       .withColumn("chars_per_token",
-        round(length(col(textCol)) / nTok.cast("double"), 6))
+        round(length(col(textCol)) / safeTok, 6))
       .withColumn("quality", round(
         least(nTok / lit(100.0), lit(1.0)) *
-          (nDist.cast("double") / nTok) * (lit(1.0) - stopRatio), 6))
+          (nDist.cast("double") / safeTok) * (lit(1.0) - stopRatio), 6))
       .drop("toks")
   }
 

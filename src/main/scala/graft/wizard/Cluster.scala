@@ -2,7 +2,7 @@ package graft.wizard
 
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.clustering.{BisectingKMeans, KMeans, KMeansModel}
 import org.apache.spark.ml.evaluation.ClusteringEvaluator
 import org.apache.spark.ml.param.ParamMap
 import org.apache.spark.ml.feature.PCA
@@ -48,6 +48,21 @@ object Cluster {
     val tmp = vecCol + "_mlvec"
     val withVec = df.withColumn(tmp, toVec(col(vecCol)))
     fitKMeans(withVec, tmp, outCol, k, seed).transform(withVec).drop(tmp)
+  }
+
+  /** Density-flavored alternative (reference `algorithm="hdbscan"`,
+    * word_wizard.py:281-288): HDBSCAN has no MLlib implementation, so the
+    * documented substitute is BisectingKMeans — hierarchical, divisive,
+    * deterministic under a fixed seed (SURVEY.md §7.3). Same column
+    * contract as [[kmeans]]; no noise label (HDBSCAN's −1) is produced.
+    */
+  def bisecting(df: DataFrame, vecCol: String, outCol: String, k: Int,
+                seed: Long = 42L): DataFrame = {
+    val tmp = vecCol + "_mlvec"
+    val withVec = df.withColumn(tmp, toVec(col(vecCol)))
+    val model = new BisectingKMeans().setK(k).setSeed(seed)
+      .setFeaturesCol(tmp).setPredictionCol(outCol).fit(withVec)
+    model.transform(withVec).drop(tmp)
   }
 
   /** Silhouette scan: fit k ∈ [kMin, kMax), keep the best-silhouette model

@@ -79,16 +79,23 @@ final case class WordWizard(df: DataFrame, interest: String = "paragraph",
 
   /** B3: cluster the (sentence-) embedding column. `k = Some(n)` fixes k;
     * None runs the reference's silhouette scan (word_wizard.py:675-717)
-    * with floor kMin. Adds `{emb}_clusters: int` and
+    * with floor kMin. `algorithm`: "kmeans" (default) or "hdbscan" — the
+    * latter maps to BisectingKMeans, the documented MLlib substitute
+    * (SURVEY.md §7.3). Adds `{emb}_clusters: int` and
     * `{emb}_clusters_medoids: boolean` (n closest to centroid).
     */
   def clusterEmbeddings(k: Option[Int] = None, kMin: Int = 5, kMax: Int = 15,
-                        nMedoids: Int = 2, seed: Long = 42L): WordWizard = {
+                        nMedoids: Int = 2, seed: Long = 42L,
+                        algorithm: String = "kmeans"): WordWizard = {
+    require(Seq("kmeans", "hdbscan").contains(algorithm),
+      s"algorithm must be kmeans|hdbscan, got $algorithm (word_wizard.py:290)")
     val emb = findEmbedding
     val cl = clusterColOf(emb)
-    val labeled = k match {
-      case Some(n) => Cluster.kmeans(df, emb, cl, n, seed)
-      case None    => Cluster.kmeansSilhouette(df, emb, cl, kMin, kMax, seed)._2
+    val labeled = (algorithm, k) match {
+      case ("hdbscan", kOpt) =>
+        Cluster.bisecting(df, emb, cl, kOpt.getOrElse(kMin), seed)
+      case (_, Some(n)) => Cluster.kmeans(df, emb, cl, n, seed)
+      case (_, None)    => Cluster.kmeansSilhouette(df, emb, cl, kMin, kMax, seed)._2
     }
     val flagged = Cluster.medoidFlag(labeled, idCol, cl, emb,
       cl + MedoidSuffix, nMedoids)

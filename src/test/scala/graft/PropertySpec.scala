@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+import graft.clean.Cleaner
+import graft.dedup.Dedup
+import graft.nlp.text.{Text, TextStats}
+import graft.wizard.Topics
+
+/** Property-style suites (SURVEY.md §5.2.2): ScalaCheck generators build a
+  * messy corpus once (fixed seed — deterministic CI), each property is
+  * asserted over the whole frame in one Spark pass (per-case Spark jobs
+  * would be 100× slower for the same coverage).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wordGen = Gen.oneOf("alpha", "beta", "gamma", "the", "a",
+    "subscribe", "cookie", "x", "Data2", "naïve", "foo-bar", "", " ")
+  private val textGen = Gen.chooseNum(0, 60)
+    .flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+  private val corpus: Seq[String] = {
+    val seed = rng.Seed(42L)
+    Gen.listOfN(120, textGen).apply(Gen.Parameters.default, seed).get
+  }
+  private lazy val df = corpus.zipWithIndex
+    .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text").cache()
+
+  test("property: clean is idempotent and only shrinks") {
+    val t = df.withColumn("title", $"text").withColumn("paragraph", $"text")
+    val once = Cleaner.clean(t, Seq("title", "paragraph")).cache()
+    val twice = Cleaner.clean(once, Seq("title", "paragraph"))
+    assert(once.count() <= t.count())
+    assert(twice.count() == once.count())
+    assert(twice.exceptAll(once).count() == 0)
+  }
+
+  test("property: tokens are lowercase, non-empty, digit/punct-free") {
+    val bad = df.select(explode(Text.tokens($"text")).as("t"))
+      .filter($"t" === "" || $"t" =!= lower($"t") || $"t".rlike("[0-9]|[^\\w]"))
+    assert(bad.count() == 0)
+  }
+
+  test("property: ngram count = max(tokens - n + 1, 0)") {
+    val n = 3
+    val bad = df.select(size(Text.tokens($"text")).as("nt"),
+        size(Text.ngrams(Text.tokens($"text"), n)).as("ns"))
+      .filter($"ns" =!= greatest($"nt" - (n - 1), lit(0)))
+    assert(bad.count() == 0)
+  }
+
+  test("property: exact dedup partitions the id space") {
+    val g = Dedup.exact(df, "doc_id", "text")
+    assert(g.agg(sum($"n_dups")).head.getLong(0) == df.count())
+    assert(g.count() == df.select("text").distinct().count())
+  }
+
+  test("property: minhash yields exactly numHashes rows per doc with shingles") {
+    val sig = Dedup.minHashSignatures(df, "doc_id", "text", 3, 6)
+    val counts = sig.groupBy($"doc_id").count().select("count").distinct()
+      .as[Long].collect().toSet
+    assert(counts.subsetOf(Set(6L)))
+    val withShingles = df
+      .filter(size(Text.tokens($"text")) >= 3).count()
+    assert(sig.select("doc_id").distinct().count() == withShingles)
+  }
+
+  test("property: estimated and exact jaccard live in [0,1]") {
+    val sig = Dedup.minHashSignatures(df, "doc_id", "text", 3, 6).cache()
+    val pairs = Dedup.lshCandidatePairs(sig, "doc_id", 2).cache()
+    val est = Dedup.estimateJaccard(pairs, sig, "doc_id")
+    assert(est.filter($"est_jaccard" < 0 || $"est_jaccard" > 1).count() == 0)
+    val ver = Dedup.verifyPairs(pairs, df, "doc_id", "text")
+    assert(ver.filter($"jaccard" < 0 || $"jaccard" > 1).count() == 0)
+  }
+
+  test("property: topTerms emits at most n per cluster with rk 1..n dense") {
+    val clustered = df.withColumn("cl", ($"doc_id" % 5).cast("int"))
+    val top = Topics.topTerms(clustered, "cl", Text.tokens($"text"), 7).cache()
+    val sizes = top.groupBy($"cl").agg(count(lit(1)).as("n"), max($"rk").as("mx"))
+    assert(sizes.filter($"n" > 7 || $"mx" =!= $"n").count() == 0)
+  }
+
+  test("property: quality score bounded in [0,1], ratios valid") {
+    val q = TextStats.qualityScore(df, "text")
+    assert(q.filter($"quality" < 0 || $"quality" > 1).count() == 0)
+    assert(q.filter($"stopword_ratio" < 0 || $"stopword_ratio" > 1).count() == 0)
+    assert(q.filter($"n_distinct" > $"n_tokens").count() == 0)
+  }
+}
