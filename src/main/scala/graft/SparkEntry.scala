@@ -51,6 +51,8 @@ object SparkEntry {
     "q32_fingerprint"      -> (TextStatsQueries.q32Fingerprint _),
     "q33_binary_features"  -> (MultimodalQueries.q33BinaryFeatures _),
     "q34_event_windows"    -> (EventQueries.q34EventWindows _),
+    "q35_session_windows"  -> (EventQueries.q35SessionWindows _),
+    "q36_simhash_neardup"  -> (DedupQueries.q36SimhashNeardup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -91,5 +93,7 @@ object SparkEntry {
     "q32_fingerprint"      -> TextStatsQueries.q32Sql,
     "q33_binary_features"  -> MultimodalQueries.q33Sql,
     "q34_event_windows"    -> EventQueries.q34Sql,
+    "q35_session_windows"  -> EventQueries.q35Sql,
+    "q36_simhash_neardup"  -> DedupQueries.q36Sql,
   )
 }

@@ -90,31 +90,17 @@ object Dedup {
   /** SimHash: 64-bit signature from the doc's distinct tokens. Bit b of
     * md5(token)'s first 16 hex digits votes ±1; the sign of the per-bit sum
     * sets the signature bit. Emitted as a 64-char '0'/'1' string (bit 0
-    * first) — portable, and hamming distance is a cheap zip_with.
+    * first) — portable, and hamming distance is a cheap codegen'd loop.
+    *
+    * Computed by the scalar SimHash64 expression — a per-row token loop.
+    * The equivalent relational plan (explode tokens ×64 bit rows → two
+    * shuffled aggregations) moves 64× the data for the same answer; the
+    * DuckDB oracle keeps that formulation as the cross-engine check.
     */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(array_distinct(Text.tokens(col(textCol)))).as("tok"))
-    val bits = toks
-      .withColumn("h", md5(col("tok")))
-      .select(col(idCol), col("h"),
-        explode(sequence(lit(0), lit(63))).as("bit"))
-      .withColumn("hexv",
-        conv(col("h").substr((col("bit") / 4).cast("int") + 1, lit(1)), 16, 10)
-          .cast("int"))
-      // bit value without a column-shift builtin: floor(hexv / 2^(3-bit%4)) % 2
-      .withColumn("bitval",
-        (floor(col("hexv") / pow(lit(2), lit(3) - pmod(col("bit"), lit(4))))
-          .cast("int") % 2))
-    bits
-      .groupBy(col(idCol), col("bit"))
-      .agg(sum(when(col("bitval") === 1, 1).otherwise(-1)).as("vote"))
-      .withColumn("ch", when(col("vote") > 0, "1").otherwise("0"))
-      .groupBy(col(idCol))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("bit"), col("ch")))),
-        x => x("ch")), "").as("simhash"))
-  }
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.VecExprs.simhash64(
+        array_distinct(Text.tokens(col(textCol)))).as("simhash"))
 
   /** Verification stage: exact unigram-set Jaccard for the candidate pairs
     * the bands emitted. Cost is O(pairs × tokens-per-doc) — the whole point
@@ -137,6 +123,35 @@ object Dedup {
       .join(sizes.select(col("vp_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+  }
+
+  /** SimHash near-dup pairs via chunk banding (pigeonhole: two 64-bit
+    * signatures within hamming distance `chunks−1` must agree on at least
+    * one of `chunks` equal slices) — candidates from a hash join on
+    * (band, slice), verified with the codegen'd hamming expression. Like
+    * MinHash-LSH this never goes n²: only slice-collision pairs are
+    * compared. Output: (doc_a, doc_b, hamming) with hamming ≤ maxHamming.
+    */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    val chunkLen = 64 / chunks
+    // both join sides reuse the signature subtree — materialize once
+    // (64 bits/doc; the recompute would double the bit-vote aggregation)
+    val sh = simHash(df, idCol, textCol).cache()
+    val banded = sh.select(col(idCol), col("simhash"),
+        explode(sequence(lit(0), lit(chunks - 1))).as("band"))
+      .withColumn("slice",
+        expr(s"substring(simhash, band * $chunkLen + 1, $chunkLen)"))
+    val a = banded.select(col(idCol).as("doc_a"), col("simhash").as("sha"),
+      col("band"), col("slice"))
+    val b = banded.select(col(idCol).as("doc_b"), col("simhash").as("shb"),
+      col("band"), col("slice"))
+    a.join(b, Seq("band", "slice"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.VecExprs.hamming(col("sha"), col("shb")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Exact n-gram (here: unigram set) Jaccard for candidate pairs restricted

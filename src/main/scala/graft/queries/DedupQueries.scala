@@ -116,6 +116,51 @@ object DedupQueries {
       .orderBy($"doc_id")
   }
 
+  /** q36: SimHash near-dup pairs — chunk banding (4×16-bit slices) for
+    * candidates, codegen'd hamming verify, threshold 3.
+    */
+  def q36SimhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.simhashNearDup(Tables(spark, dir, "documents"),
+        "doc_id", "text", maxHamming = 3, chunks = 4)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q36Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_filter(string_split(text,' '), t -> t <> ''))) AS tok
+      |  FROM documents
+      |), h AS (SELECT doc_id, md5(tok) AS h FROM tok
+      |), bits AS (SELECT doc_id, h, unnest(generate_series(0, 63)) AS bit FROM h
+      |), bv AS (
+      |  SELECT doc_id, bit,
+      |    CAST(floor((strpos('0123456789abcdef', substr(h, CAST(bit // 4 AS INT) + 1, 1)) - 1)
+      |         / pow(2, 3 - (bit % 4))) AS INT) % 2 AS bitval
+      |  FROM bits
+      |), votes AS (
+      |  SELECT doc_id, bit, SUM(CASE WHEN bitval = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM bv GROUP BY doc_id, bit
+      |), sh AS (
+      |  SELECT doc_id,
+      |    string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS simhash
+      |  FROM votes GROUP BY doc_id
+      |), banded AS (
+      |  SELECT doc_id, simhash, band, substr(simhash, band * 16 + 1, 16) AS slice
+      |  FROM sh, (SELECT unnest(generate_series(0, 3)) AS band)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.simhash AS sa, b.simhash AS sb
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.slice = b.slice AND a.doc_id < b.doc_id
+      |), ham AS (
+      |  SELECT doc_a, doc_b,
+      |    len(list_filter(generate_series(1, 64),
+      |        i -> substr(sa, CAST(i AS INT), 1) <> substr(sb, CAST(i AS INT), 1))) AS hamming
+      |  FROM cand)
+      |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM ham
+      |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+
   val q26Sql: String =
     """WITH tok AS (
       |  SELECT doc_id,

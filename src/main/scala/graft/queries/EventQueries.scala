@@ -34,4 +34,42 @@ object EventQueries {
       |  event_type, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY window_ns, event_type""".stripMargin
+
+  /** q35: per-user session windows (30-minute inactivity gap) — Spark's
+    * session_window in batch; the oracle derives the same sessions with
+    * gaps-and-islands SQL (lag → new-session flag → running sum). The
+    * streaming twin is Streams.sessionize.
+    */
+  def q35SessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      .groupBy($"user_id", session_window($"tsm", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), Exact.dsum($"value").as("sum_value"))
+      .select($"user_id",
+        (unix_micros($"w.start") * 1000).as("session_start_ns"),
+        $"n_events", $"sum_value")
+      .orderBy($"user_id", $"session_start_ns")
+  }
+
+  val q35Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS tsu, value FROM events
+      |), flagged AS (
+      |  SELECT user_id, tsu, value,
+      |    CASE WHEN tsu - LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu)
+      |              >= 30 * 60 * 1000000 OR
+      |              LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu) IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM e
+      |), numbered AS (
+      |  SELECT user_id, tsu, value,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY tsu
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, MIN(tsu) * 1000 AS session_start_ns,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM numbered GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start_ns""".stripMargin
 }

@@ -3,6 +3,9 @@ package graft.sim
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.param.ParamMap
+import org.apache.spark.ml.linalg.Vectors
 import graft.functions.VectorOps
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -40,6 +43,50 @@ object Similarity {
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(VectorOps.cosine(col("va"), col("vb")), 6).as("cosine"))
+  }
+
+  /** IVF (inverted-file) approximate top-k — the 100 TB path: a KMeans
+    * coarse quantizer (nlist cells, seeded) partitions the corpus once;
+    * each query scans only its `nprobe` nearest cells instead of the full
+    * corpus. Centroids are a tiny broadcast dimension; the only big-side
+    * work is a hash join corpus⋈(query,cell) followed by per-query top-k.
+    * Recall tunes with nprobe; [[bruteForceTopK]] is the verifier.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val withVec = corpus.withColumn("_mlvec", toVec(col(vecCol)))
+    val km = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("_mlvec").setPredictionCol("_cell")
+    val model = km.fit(withVec, ParamMap(km.solver -> "row"))
+    val assigned = model.transform(withVec).drop("_mlvec")
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("_cell", "_centroid")
+
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("cdist"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", VectorOps.sqDist(col("qv"), col("_centroid")))
+      .withColumn("prk", row_number().over(probeW))
+      .filter(col("prk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("_cell"))
+
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    assigned
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("_cell"))
+      .join(broadcast(probes), Seq("_cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(VectorOps.cosine(col("qv"), col("cv")), 6))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("neighbor_id"), col("cosine"))
   }
 
   /** Exact cosine top-k neighbors for each row of `queries` against

@@ -51,6 +51,13 @@ class DedupSpec extends SparkSpec {
     assert(ham(sh(0L), sh(2L)) < ham(sh(0L), sh(3L)))
   }
 
+  test("simhashNearDup: exact dups at hamming 0, unrelated docs excluded") {
+    val got = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 3)
+      .collect.map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got.get((0L, 1L)).contains(0))
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("jaccardWithinGroups computes exact set jaccard") {
     val grouped = docs.withColumn("g", lit("x"))
     val j = Dedup.jaccardWithinGroups(grouped, "doc_id", "text", Seq("g"))

@@ -49,6 +49,35 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("ivfTopK: high recall vs brute force on blobby data, cheaper probe set") {
+    // 4 well-separated blobs of 25 points each in 8-d
+    val blobs = for {
+      b <- 0 until 4; i <- 0 until 25
+    } yield {
+      val base = Array.fill(8)(0.0f)
+      base(b * 2) = 10.0f
+      ((b * 25 + i).toLong,
+        base.zipWithIndex.map { case (v, d) => v + ((i * 7 + d * 3) % 5) * 0.1f })
+    }
+    val corpus = blobs.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 25 === 0) // one per blob
+    val exact = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", 5)
+      .collect.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.ivfTopK(queries, corpus, "vec_id", "embedding",
+        k = 5, nlist = 4, nprobe = 2)
+      .collect.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("str_hamming counts byte mismatches plus length difference") {
+    val df = Seq(("0101", "0011"), ("111", "111"), ("10", "1011")).toDF("a", "b")
+    val got = df.select(graft.functions.VecExprs.hamming($"a", $"b"))
+      .collect.map(_.getInt(0)).toSeq
+    assert(got == Seq(2, 0, 2))
+    assert(spark.sql("SELECT str_hamming('abc', 'abd')").head.getInt(0) == 1)
+  }
+
   test("signBucket groups by sign pattern; bucketed pairs stay in-bucket") {
     val pairs = Similarity.bucketedPairs(vecs, "vec_id", "embedding", 3)
       .collect.map(r => (r.getLong(0), r.getLong(1))).toSet
