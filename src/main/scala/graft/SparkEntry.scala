@@ -53,6 +53,7 @@ object SparkEntry {
     "q34_event_windows"    -> (EventQueries.q34EventWindows _),
     "q35_session_windows"  -> (EventQueries.q35SessionWindows _),
     "q36_simhash_neardup"  -> (DedupQueries.q36SimhashNeardup _),
+    "q37_lemma_count"      -> (TextStatsQueries.q37LemmaCount _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -95,5 +96,6 @@ object SparkEntry {
     "q34_event_windows"    -> EventQueries.q34Sql,
     "q35_session_windows"  -> EventQueries.q35Sql,
     "q36_simhash_neardup"  -> DedupQueries.q36Sql,
+    "q37_lemma_count"      -> TextStatsQueries.q37Sql,
   )
 }

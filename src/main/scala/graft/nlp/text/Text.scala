@@ -34,6 +34,32 @@ object Text {
   def sentences(c: Column): Column =
     filter(split(c, "(?<=[.!?])\\s+"), s => trim(s) =!= "")
 
+  /** F14: rule-based lemmatizer (reference: WordNet lemmatizer,
+    * word_wizard.py:591,603 — no JVM WordNet here, so a deterministic
+    * first-match-wins suffix ruleset + small irregular table; documented
+    * non-parity per SURVEY.md §7.3). Pure when/rlike chain — identical
+    * CASE logic is expressible in the oracle SQL.
+    */
+  val irregulars: Map[String, String] = Map(
+    "children" -> "child", "men" -> "man", "women" -> "woman",
+    "feet" -> "foot", "mice" -> "mouse", "geese" -> "goose")
+
+  def lemma(t: Column): Column = {
+    val irr = irregulars.foldLeft(when(lit(false), t)) {
+      case (acc, (from, to)) => acc.when(t === from, lit(to))
+    }
+    irr
+      .when(t.rlike("sses$"), regexp_replace(t, "es$", ""))
+      .when(t.rlike("....ies$"), regexp_replace(t, "ies$", "y"))
+      .when(t.rlike("...ing$"), regexp_replace(t, "ing$", ""))
+      .when(t.rlike("...ed$"), regexp_replace(t, "ed$", ""))
+      .when(t.rlike("..[^su]s$"), regexp_replace(t, "s$", ""))
+      .otherwise(t)
+  }
+
+  /** F14 over a token array. */
+  def lemmatize(toks: Column): Column = transform(toks, t => lemma(t))
+
   /** F15: word n-grams (shingles) from a token array, joined by a space.
     * transform over a sliced range keeps it codegen-friendly. Docs shorter
     * than n tokens yield an empty array (slice(start=0) would throw).

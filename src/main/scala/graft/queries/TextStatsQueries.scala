@@ -51,6 +51,43 @@ object TextStatsQueries {
       |  COALESCE(d.lang = b.pred_lang, FALSE) AS correct
       |FROM documents d LEFT JOIN best b USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  /** q37: top-50 lemmatized terms (F14 lemmatizer over the corpus). */
+  def q37LemmaCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    Tables(spark, dir, "documents")
+      .select(explode(Text.lemmatize(Text.tokens($"text"))).as("lemma"))
+      .groupBy($"lemma").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"cnt".desc, $"lemma")).cast("long"))
+      .filter($"rk" <= 50)
+      .orderBy($"rk")
+  }
+
+  val q37Sql: String = {
+    val irr = Text.irregulars
+      .map { case (f, t) => s"WHEN term = '$f' THEN '$t'" }.mkString(" ")
+    s"""WITH tok AS (
+      |  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+      |  FROM documents
+      |), lem AS (
+      |  SELECT CASE $irr
+      |    WHEN regexp_matches(term, 'sses$$') THEN regexp_replace(term, 'es$$', '')
+      |    WHEN regexp_matches(term, '....ies$$') THEN regexp_replace(term, 'ies$$', 'y')
+      |    WHEN regexp_matches(term, '...ing$$') THEN regexp_replace(term, 'ing$$', '')
+      |    WHEN regexp_matches(term, '...ed$$') THEN regexp_replace(term, 'ed$$', '')
+      |    WHEN regexp_matches(term, '..[^su]s$$') THEN regexp_replace(term, 's$$', '')
+      |    ELSE term END AS lemma
+      |  FROM tok
+      |), counted AS (
+      |  SELECT lemma, COUNT(*) AS cnt FROM lem GROUP BY lemma
+      |), ranked AS (
+      |  SELECT lemma, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, lemma) AS rk
+      |  FROM counted)
+      |SELECT lemma, cnt, CAST(rk AS BIGINT) AS rk FROM ranked
+      |WHERE rk <= 50 ORDER BY rk""".stripMargin
+  }
+
   /** q30: quality features + composite score per doc. */
   def q30Quality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -39,6 +39,14 @@ class TextSpec extends SparkSpec {
     assert(got.isEmpty)
   }
 
+  test("lemma: irregulars, suffix rules, first-match-wins") {
+    val in = Seq("children", "classes", "bodiesies", "running", "walked",
+      "tables", "glass", "bus", "is").toDF("t")
+    val got = in.select(graft.nlp.text.Text.lemma($"t")).collect.map(_.getString(0))
+    assert(got.toSeq == Seq("child", "class", "bodiesy", "runn", "walk",
+      "table", "glass", "bus", "is")) // "is"/"bus"/"glass" too short / s-suffixed
+  }
+
   test("sentences splits on terminal punctuation") {
     val got = Seq("One two. Three! Four? five").toDF("t")
       .select(Text.sentences($"t")).head.getSeq[String](0)
