@@ -71,6 +71,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch-over-stream: foreachBatch reuses the batch cleaner verbatim") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, String)]
+    val stream = in.toDF.toDF("ts", "title", "description")
+    val sink = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Streams.dedupLinks(
+        stream.withColumn("se_link", $"title"), delay = "1 minute")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink += graft.clean.Cleaner
+          .clean(batch, Seq("title", "description")).count()
+        ()
+      }
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        (ts(1), "a good long headline here", "d" * 120),      // survives
+        (ts(2), "javascript cookie junk!!", "d" * 120),       // blacklisted
+        (ts(3), "tiny", "d" * 120))                           // too short
+      q.processAllAvailable()
+      assert(sink.sum == 1)
+    } finally q.stop()
+  }
+
   test("dropRepeatedPages filters pages with repeated content hash per engine") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, String)]
