@@ -42,6 +42,42 @@ final class TfIdfEmbedder(dim: Int = 64) extends Embedder {
   }
 }
 
+/** The mapPartitions inference seam (SURVEY.md B1 design): a "model" is
+  * instantiated once per partition and fed fixed-size batches — exactly how
+  * a real ONNX/DJL transformer kernel plugs in. The stub model is a
+  * deterministic hashing projection (token → dim via murmur-style md5
+  * prefix, L2-normalized counts), so the plumbing — partition-level init,
+  * batch shape, array<float> output — is real and testable without
+  * shipping weights.
+  */
+final class BatchedEmbedder(dim: Int = 64, batchSize: Int = 32) extends Embedder {
+  def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    val d = dim
+    val bs = batchSize
+    // distinct → embed → join back (the A10 economy: duplicate texts cost
+    // one inference, and the expensive kernel sees deduped partitions)
+    val vecs = df.select(col(textCol)).distinct().as[String].mapPartitions { it =>
+      // "model load" happens once per partition:
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def embedBatch(batch: Seq[String]): Seq[Array[Float]] = batch.map { text =>
+        val v = new Array[Float](d)
+        text.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+          md.reset()
+          val h = md.digest(tok.getBytes("UTF-8"))
+          val idx = math.floorMod(java.nio.ByteBuffer.wrap(h).getInt, d)
+          v(idx) += 1f
+        }
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+        if (n > 0) v.map(_ / n) else v
+      }
+      it.grouped(bs).flatMap(b => b.zip(embedBatch(b)))
+    }.toDF(textCol + "_k", outCol)
+    df.join(vecs, df(textCol) === vecs(textCol + "_k"), "left")
+      .drop(textCol + "_k")
+  }
+}
+
 /** B5: extractive lead-k summarizer (reference: BART/Pegasus generation —
   * word_wizard.py:298-361). Pure Column expression: first `k` sentences.
   */
@@ -58,11 +94,17 @@ object LeadKSummarizer {
 final class HeuristicEntityExtractor(
     exclusions: Seq[String] = Seq("The", "This", "That", "Quantum", "AI")) {
 
-  /** array<string> of entity candidates in `textCol`. */
+  /** array<string> of entity candidates in `textCol`. Excluded words are
+    * stripped from span heads ("The Nvidia Corporation" → "Nvidia
+    * Corporation") and spans that ARE an excluded word are dropped — the
+    * EntityRuler-style pre-pass of the reference (word_wizard.py:463-476).
+    */
   def entities(textCol: Column): Column = {
     val spans = regexp_extract_all(textCol,
       lit("([A-Z][a-zA-Z]+(?: [A-Z][a-zA-Z]+)*)"), lit(1))
     val excl = array(exclusions.map(lit): _*)
-    filter(spans, s => !array_contains(excl, s))
+    val headRe = "^(" + exclusions.mkString("|") + ")\\s+"
+    val stripped = transform(spans, s => regexp_replace(s, headRe, ""))
+    filter(stripped, s => s =!= "" && !array_contains(excl, s))
   }
 }

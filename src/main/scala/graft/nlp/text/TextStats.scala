@@ -78,9 +78,14 @@ object TextStats {
       .withColumn("stopword_ratio", round(stopRatio, 6))
       .withColumn("chars_per_token",
         round(length(col(textCol)) / safeTok, 6))
-      .withColumn("quality", round(
+      // quality stays UNROUNDED: it is a ratio of small integers whose
+      // exact decimal value can sit on a .5e-7 rounding boundary, where
+      // engines' round() implementations disagree; the raw double is
+      // bit-identical across engines (same IEEE ops, same order) and the
+      // harness canonicalizes at 9 dp.
+      .withColumn("quality",
         least(nTok / lit(100.0), lit(1.0)) *
-          (nDist.cast("double") / safeTok) * (lit(1.0) - stopRatio), 6))
+          (nDist.cast("double") / safeTok) * (lit(1.0) - stopRatio))
       .drop("toks")
   }
 

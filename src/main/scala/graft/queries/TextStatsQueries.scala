@@ -113,8 +113,8 @@ object TextStatsQueries {
       |SELECT doc_id, n_tokens, n_distinct,
       |  round(stop_ratio, 6) AS stopword_ratio,
       |  round(cpt, 6) AS chars_per_token,
-      |  round(least(n_tokens / 100.0, 1.0) * (n_distinct / CAST(n_tokens AS DOUBLE))
-      |        * (1.0 - stop_ratio), 6) AS quality
+      |  least(n_tokens / 100.0, 1.0) * (n_distinct / CAST(n_tokens AS DOUBLE))
+      |        * (1.0 - stop_ratio) AS quality
       |FROM raw ORDER BY doc_id""".stripMargin
 
   /** q31: token counting — whitespace, BPE-ish regex, chars/4 estimate. */

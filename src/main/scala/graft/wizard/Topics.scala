@@ -40,14 +40,18 @@ object Topics {
 
   /** Top-n terms per cluster, scores rounded for float parity (the only
     * transcendental is one ln; round(6) absorbs cross-engine ulp noise).
+    * Ranking is on the ROUNDED score: two terms whose scores differ only
+    * in final ulps must tie (then break by term) identically in every
+    * engine, or the rank order itself diverges.
     */
   def topTerms(df: DataFrame, clusterCol: String, termCol: Column, n: Int): DataFrame = {
     val w = Window.partitionBy(col(clusterCol))
-      .orderBy($("score").desc, $("term"))
+      .orderBy($("score6").desc, $("term"))
     cTfIdf(df, clusterCol, termCol)
+      .withColumn("score6", round($("score"), 6))
       .withColumn("rk", row_number().over(w))
       .filter($("rk") <= n)
-      .select(col(clusterCol), $("rk"), $("term"), round($("score"), 6).as("score"))
+      .select(col(clusterCol), $("rk"), $("term"), $("score6").as("score"))
   }
 
   private def $(s: String): Column = col(s)
