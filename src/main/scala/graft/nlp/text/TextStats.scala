@@ -12,13 +12,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object TextStats {
 
-  /** Character n-grams of `textCol` as one row per (doc, position). */
+  /** Character n-grams of `textCol` as one row per (doc, position).
+    * The n-gram array is built BEFORE the explode: exploding positions and
+    * slicing afterwards would carry the full document text into every
+    * position row (|text| × |positions| bytes through the Generate).
+    */
   private def charNgramRows(df: DataFrame, idCols: Seq[Column],
                             textCol: String, n: Int): DataFrame =
     df.filter(length(col(textCol)) >= n)
-      .select(idCols :+ explode(
-        sequence(lit(1), length(col(textCol)) - (n - 1))).as("i"): _*)
-      .withColumn("tri", col(textCol).substr(col("i"), lit(n)))
+      .select(idCols :+ explode(transform(
+        sequence(lit(1), length(col(textCol)) - (n - 1)),
+        i => col(textCol).substr(i, lit(n)))).as("tri"): _*)
 
   /** Cavnar–Trenkle-style language ID: per-language top-`profileSize` char
     * trigram profiles learned from the labeled corpus itself, then each doc
@@ -29,8 +33,7 @@ object TextStats {
     */
   def langIdByTrigram(df: DataFrame, idCol: String, textCol: String,
                       langCol: String, profileSize: Int = 20): DataFrame = {
-    val tri = charNgramRows(df,
-      Seq(col(idCol), col(langCol), col(textCol)), textCol, 3)
+    val tri = charNgramRows(df, Seq(col(idCol), col(langCol)), textCol, 3)
     // one pass over the exploded trigrams: (doc, tri) counts feed BOTH the
     // profile aggregation and the distinct doc-trigram set (lang is
     // functionally dependent on doc, so this grain is distinct (doc, tri))
