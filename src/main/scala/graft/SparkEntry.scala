@@ -54,6 +54,7 @@ object SparkEntry {
     "q35_session_windows"  -> (EventQueries.q35SessionWindows _),
     "q36_simhash_neardup"  -> (DedupQueries.q36SimhashNeardup _),
     "q37_lemma_count"      -> (TextStatsQueries.q37LemmaCount _),
+    "q38_embed_dedup"      -> (DedupQueries.q38EmbedDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -97,5 +98,6 @@ object SparkEntry {
     "q35_session_windows"  -> EventQueries.q35Sql,
     "q36_simhash_neardup"  -> DedupQueries.q36Sql,
     "q37_lemma_count"      -> TextStatsQueries.q37Sql,
+    "q38_embed_dedup"      -> DedupQueries.q38Sql,
   )
 }

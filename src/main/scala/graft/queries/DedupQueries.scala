@@ -109,6 +109,74 @@ object DedupQueries {
       |  JOIN sizes nb ON nb.doc_id = e.doc_b
       |ORDER BY e.doc_a, e.doc_b""".stripMargin
 
+  /** q38: embedding-cosine near-dup over DOCUMENTS — each doc joined to
+    * its embedding (doc_id = vec_id), candidate pairs from deterministic
+    * sign-bucket LSH, evidence = cosine (≥ 0.15) plus exact unigram
+    * Jaccard of the two texts. The text join runs only on the candidate
+    * pairs, so the expensive part is Σ bucket², never n².
+    */
+  def q38EmbedDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val emb = Tables(spark, dir, "embeddings")
+    val joined = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select($"doc_id", $"text", $"embedding")
+    val pairs = graft.sim.Similarity
+      .bucketedPairs(joined, "doc_id", "embedding", bits = 8)
+      .filter($"cosine" >= 0.15)
+      .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"), $"cosine")
+    pairs
+      .join(Dedup.verifyPairs(pairs, docs, "doc_id", "text"),
+        Seq("doc_a", "doc_b"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q38Sql: String =
+    """WITH j AS (
+      |  SELECT d.doc_id, d.text, e.embedding
+      |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |), b AS (
+      |  SELECT doc_id, text,
+      |    array_to_string(list_transform(embedding[1:8],
+      |      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      |  FROM j
+      |), dims AS (
+      |  SELECT doc_id, unnest(generate_series(1, len(embedding))) AS dim,
+      |    unnest(embedding) AS v
+      |  FROM j
+      |), nrm AS (
+      |  SELECT doc_id, sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS n
+      |  FROM dims GROUP BY doc_id
+      |), cand AS (
+      |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+      |), cosed AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    round(SUM(CAST(da.v AS DOUBLE) * CAST(db.v AS DOUBLE))
+      |          / (MIN(na.n) * MIN(nb.n)), 6) AS cosine
+      |  FROM cand c JOIN dims da ON da.doc_id = c.doc_a
+      |              JOIN dims db ON db.doc_id = c.doc_b AND db.dim = da.dim
+      |              JOIN nrm na ON na.doc_id = c.doc_a
+      |              JOIN nrm nb ON nb.doc_id = c.doc_b
+      |  GROUP BY c.doc_a, c.doc_b
+      |  HAVING cosine >= 0.15
+      |), tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_filter(string_split(text,' '), t -> t <> ''))) AS tok
+      |  FROM documents
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+      |), inter AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      |  FROM cosed c JOIN tok ta ON ta.doc_id = c.doc_a
+      |               JOIN tok tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+      |  GROUP BY c.doc_a, c.doc_b)
+      |SELECT c.doc_a, c.doc_b, c.cosine, i.i / (na.n + nb.n - i.i) AS jaccard
+      |FROM cosed c JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      |  JOIN sizes na ON na.doc_id = c.doc_a
+      |  JOIN sizes nb ON nb.doc_id = c.doc_b
+      |ORDER BY c.doc_a, c.doc_b""".stripMargin
+
   /** q26: SimHash 64-bit signature per doc (as '0'/'1' string). */
   def q26Simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
