@@ -102,16 +102,23 @@ object Dedup {
       graft.functions.VecExprs.simhash64(
         array_distinct(Text.tokens(col(textCol)))).as("simhash"))
 
-  /** Verification stage: exact unigram-set Jaccard for the candidate pairs
-    * the bands emitted. Cost is O(pairs × tokens-per-doc) — the whole point
-    * of LSH is that `pairs` is tiny relative to n², so this join is cheap at
-    * any corpus size.
+  /** Verification stage: exact n-gram-set Jaccard for the candidate pairs
+    * the bands emitted (ngramSize=1 → unigram sets; 2/3 → shingle sets,
+    * stricter about word order). Cost is O(pairs × grams-per-doc) — the
+    * whole point of LSH is that `pairs` is tiny relative to n², so this
+    * join is cheap at any corpus size.
     * Output: (doc_a, doc_b, jaccard).
     */
   def verifyPairs(pairs: DataFrame, df: DataFrame, idCol: String,
-                  textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("vp_id"),
-      explode(array_distinct(Text.tokens(col(textCol)))).as("tok"))
+                  textCol: String, ngramSize: Int = 1): DataFrame = {
+    val grams =
+      if (ngramSize <= 1) Text.tokens(col(textCol))
+      else Text.ngrams(col("toks"), ngramSize)
+    val tok =
+      (if (ngramSize <= 1) df
+       else df.withColumn("toks", Text.tokens(col(textCol))))
+        .select(col(idCol).as("vp_id"),
+          explode(array_distinct(grams)).as("tok"))
     val sizes = tok.groupBy(col("vp_id")).agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(tok.select(col("vp_id").as("doc_a"), col("tok")), "doc_a")

@@ -51,6 +51,18 @@ class DedupSpec extends SparkSpec {
     assert(ham(sh(0L), sh(2L)) < ham(sh(0L), sh(3L)))
   }
 
+  test("verifyPairs with shingles: stricter than unigram jaccard on reordered text") {
+    val reordered = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "delta gamma beta alpha")   // same unigrams, no shared 2-grams
+    ).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L)).toDF("doc_a", "doc_b")
+    val uni = Dedup.verifyPairs(pairs, reordered, "doc_id", "text").head.getDouble(2)
+    assert(uni == 1.0)
+    val bi = Dedup.verifyPairs(pairs, reordered, "doc_id", "text", ngramSize = 2)
+    assert(bi.count() == 0) // zero shared bigrams -> pair never joins
+  }
+
   test("simhashNearDup: exact dups at hamming 0, unrelated docs excluded") {
     val got = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 3)
       .collect.map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
