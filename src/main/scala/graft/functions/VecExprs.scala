@@ -231,5 +231,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("str_hamming"),
       new ExpressionInfo(classOf[StrHamming].getName, "str_hamming"),
       (args: Seq[Expression]) => StrHamming(args(0), args(1))))
+    ext.injectOptimizerRule(_ => SqrtComparisonRule)
   }
 }

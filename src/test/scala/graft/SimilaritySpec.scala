@@ -70,6 +70,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("SqrtComparisonRule rewrites sqrt(vec_sqdist) radius filters exactly") {
+    val df = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(3.0f, 4.0f)), (2L, Array(0.3f, 0.4f))
+    ).toDF("id", "v")
+    val q = Array(0.0f, 0.0f)
+    val filtered = df.filter(
+      sqrt(VectorOps.sqDist($"v", typedLit(q))) < 1.0)
+    // rule fired: no SQRT left in the optimized plan
+    assert(!filtered.queryExecution.optimizedPlan.toString.contains("SQRT"))
+    // and semantics are exact: only the 0.5-distance vector (and origin) pass
+    assert(filtered.select("id").as[Long].collect().toSet == Set(0L, 2L))
+    // negative-argument sqrt (NaN comparisons) is NOT rewritten: x - 5 has
+    // no non-negativity proof, so `sqrt(x-5) < 2` must stay false for x < 5
+    val signs = Seq(1.0, 6.0, 30.0).toDF("x")
+      .filter(sqrt($"x" - 5.0) < lit(2.0))
+    assert(signs.as[Double].collect().toSeq == Seq(6.0)) // 1.0 -> NaN -> false
+  }
+
   test("str_hamming counts byte mismatches plus length difference") {
     val df = Seq(("0101", "0011"), ("111", "111"), ("10", "1011")).toDF("a", "b")
     val got = df.select(graft.functions.VecExprs.hamming($"a", $"b"))
