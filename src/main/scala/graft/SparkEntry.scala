@@ -55,6 +55,7 @@ object SparkEntry {
     "q36_simhash_neardup"  -> (DedupQueries.q36SimhashNeardup _),
     "q37_lemma_count"      -> (TextStatsQueries.q37LemmaCount _),
     "q38_embed_dedup"      -> (DedupQueries.q38EmbedDedup _),
+    "q39_neardup_groups"   -> (DedupQueries.q39NeardupGroups _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -99,5 +100,6 @@ object SparkEntry {
     "q36_simhash_neardup"  -> DedupQueries.q36Sql,
     "q37_lemma_count"      -> TextStatsQueries.q37Sql,
     "q38_embed_dedup"      -> DedupQueries.q38Sql,
+    "q39_neardup_groups"   -> DedupQueries.q39Sql,
   )
 }

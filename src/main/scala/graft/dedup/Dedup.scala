@@ -132,6 +132,41 @@ object Dedup {
         (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
   }
 
+  /** Connected components over a near-dup pair graph — pairs → dedup
+    * GROUPS (one canonical keeper per component). Iterative min-label
+    * propagation: each round every node adopts the smallest component id
+    * among itself and its neighbors; converges in O(graph diameter)
+    * rounds (near-dup components are shallow — a handful). Each round is
+    * one join + one aggregate, all partition-parallel — the standard
+    * big-data CC recipe (GraphX-style), no driver-side graph.
+    * Output: (doc_id, component) where component = min id in the group.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).cache()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")), "dst")
+        .groupBy(col("src")).agg(min(col("dst_comp")).as("nbr_comp"))
+      val next = labels
+        .join(nbrMin.select(col("src").as("id"), col("nbr_comp")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .cache()
+      changed = next
+        .join(labels.select(col("id"), col("comp").as("old_comp")), "id")
+        .filter(col("comp") =!= col("old_comp")).count()
+      labels = next
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("comp").as("component"))
+  }
+
   /** SimHash near-dup pairs via chunk banding (pigeonhole: two 64-bit
     * signatures within hamming distance `chunks−1` must agree on at least
     * one of `chunks` equal slices) — candidates from a hash join on

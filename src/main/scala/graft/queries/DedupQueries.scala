@@ -109,6 +109,63 @@ object DedupQueries {
       |  JOIN sizes nb ON nb.doc_id = e.doc_b
       |ORDER BY e.doc_a, e.doc_b""".stripMargin
 
+  /** q39: near-dup GROUPS — connected components over the LSH candidate
+    * pairs with estimated Jaccard ≥ 0.5. Spark runs iterative min-label
+    * propagation; the oracle derives the identical fixpoint with a
+    * recursive transitive-closure CTE (component = min reachable id —
+    * algorithm-independent, so both must agree exactly).
+    */
+  def q39NeardupGroups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val sig = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 8).cache()
+    val cand = Dedup.lshCandidatePairs(sig, "doc_id", bandRows = 2)
+    val pairs = Dedup.estimateJaccard(cand, sig, "doc_id")
+      .filter($"est_jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b")
+    Dedup.connectedComponents(pairs)
+      .orderBy($"doc_id")
+  }
+
+  val q39Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents
+      |), pos AS (
+      |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+      |  FROM tok WHERE len(toks) >= 3
+      |), sh AS (
+      |  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS sh FROM pos
+      |), seeded AS (
+      |  SELECT doc_id, sh, unnest(generate_series(0, 7)) AS seed FROM sh
+      |), sig AS (
+      |  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS minhash
+      |  FROM seeded GROUP BY doc_id, seed
+      |), bands AS (
+      |  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+      |    string_agg(minhash, '' ORDER BY seed) AS bsig
+      |  FROM sig GROUP BY doc_id, band
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+      |), est AS (
+      |  SELECT doc_a, doc_b,
+      |    SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / COUNT(*) AS ej
+      |  FROM cand JOIN sig sa ON sa.doc_id = doc_a
+      |            JOIN sig sb ON sb.doc_id = doc_b AND sb.seed = sa.seed
+      |  GROUP BY doc_a, doc_b
+      |), und AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM est WHERE ej >= 0.5
+      |  UNION SELECT doc_b, doc_a FROM est WHERE ej >= 0.5
+      |), reach AS (
+      |  WITH RECURSIVE r(src, dst) AS (
+      |    SELECT src, dst FROM und
+      |    UNION
+      |    SELECT r.src, u.dst FROM r JOIN und u ON r.dst = u.src
+      |  ) SELECT * FROM r)
+      |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
   /** q38: embedding-cosine near-dup over DOCUMENTS — each doc joined to
     * its embedding (doc_id = vec_id), candidate pairs from deterministic
     * sign-bucket LSH, evidence = cosine (≥ 0.15) plus exact unigram

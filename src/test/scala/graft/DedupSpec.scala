@@ -51,6 +51,16 @@ class DedupSpec extends SparkSpec {
     assert(ham(sh(0L), sh(2L)) < ham(sh(0L), sh(3L)))
   }
 
+  test("connectedComponents merges chains and keeps singletons apart") {
+    // 1-2, 2-3 chain; 5-6 pair; 8-9, 9-10, 8-10 triangle
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L), (8L, 10L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      8L -> 8L, 9L -> 8L, 10L -> 8L))
+  }
+
   test("verifyPairs with shingles: stricter than unigram jaccard on reordered text") {
     val reordered = Seq(
       (0L, "alpha beta gamma delta"),
