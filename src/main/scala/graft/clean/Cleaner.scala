@@ -60,13 +60,23 @@ object Cleaner {
   /** Full flag-then-drop chain over the canonical article columns present in
     * `df` (P7→P9→P8→P10 then P11 dropna). Column list is dynamic, as in the
     * reference's suffix-convention schema (§1.2).
+    *
+    * `body` is exempt from the blacklist (P7) and boilerplate-pattern (P9)
+    * null-outs — the reference applies those only to title/paragraph/
+    * description ("Replaces all entries except bodies",
+    * content_cleaner.py:81-85; the removal loop at content_cleaner.py:121-122
+    * covers title/paragraph/description only). A URL or the word "cookie"
+    * inside an article body must NOT drop the row; min-length and blank
+    * rules still apply to body.
     */
   def clean(df: DataFrame, cols: Seq[String] = Seq("title", "description", "body", "paragraph")): DataFrame = {
     val present = cols.filter(df.columns.contains)
     val flagged = present.foldLeft(df) { (d, name) =>
-      val base = nullIfBlank(nullIfShort(
-        nullIfBoilerplate(nullIfBlacklisted(normalize(col(name)))),
-        minLens.getOrElse(name, 1)))
+      val normalized = normalize(col(name))
+      val contentFlagged =
+        if (name == "body") normalized
+        else nullIfBoilerplate(nullIfBlacklisted(normalized))
+      val base = nullIfBlank(nullIfShort(contentFlagged, minLens.getOrElse(name, 1)))
       d.withColumn(name, base)
     }
     flagged.na.drop("any", present)

@@ -133,37 +133,53 @@ object Dedup {
   }
 
   /** Connected components over a near-dup pair graph — pairs → dedup
-    * GROUPS (one canonical keeper per component). Iterative min-label
-    * propagation: each round every node adopts the smallest component id
-    * among itself and its neighbors; converges in O(graph diameter)
-    * rounds (near-dup components are shallow — a handful). Each round is
-    * one join + one aggregate, all partition-parallel — the standard
-    * big-data CC recipe (GraphX-style), no driver-side graph.
+    * GROUPS (one canonical keeper per component). Each round combines
+    * min-label propagation (every node adopts the smallest component id
+    * among itself and its neighbors) with pointer doubling
+    * (comp ← comp(comp), the large-star shortcut), so convergence is
+    * O(log diameter) rounds instead of O(diameter) — a 2^20-long dup chain
+    * resolves in ~20 rounds. Each round is joins + one aggregate, all
+    * partition-parallel — no driver-side graph. Intermediate frames are
+    * localCheckpoint'ed: without truncation the logical plan (and its
+    * analysis cost) grows per iteration even when results are cached.
+    * Throws if maxIter rounds don't reach the fixpoint — silently wrong
+    * components are worse than a loud failure (ADVICE r01).
     * Output: (doc_id, component) where component = min id in the group.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().cache()
+      .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).cache()
+      .withColumn("comp", col("id")).localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")), "dst")
         .groupBy(col("src")).agg(min(col("dst_comp")).as("nbr_comp"))
-      val next = labels
+      val prop = labels
         .join(nbrMin.select(col("src").as("id"), col("nbr_comp")), Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .cache()
+      // pointer doubling: comp values are always node ids (invariant: min
+      // over a set of ids containing the node itself), so comp(comp) is
+      // defined and ≤ comp — label trees flatten exponentially.
+      val next = prop
+        .join(prop.select(col("id").as("comp"), col("comp").as("comp2")),
+          Seq("comp"), "left")
+        .select(col("id"), coalesce(col("comp2"), col("comp")).as("comp"))
+        .localCheckpoint()
       changed = next
         .join(labels.select(col("id"), col("comp").as("old_comp")), "id")
         .filter(col("comp") =!= col("old_comp")).count()
       labels = next
       i += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — component labels would be wrong")
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
   }
 

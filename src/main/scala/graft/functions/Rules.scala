@@ -34,7 +34,11 @@ object SqrtComparisonRule extends Rule[LogicalPlan] {
   }
 
   private def nonNegLit(c: Literal): Boolean = c.value match {
-    case d: java.lang.Double => d >= 0.0
+    // c*c must stay finite: for c > ~1.34e154 the square overflows to
+    // Infinity and `e > Infinity` is false even for e = +Infinity (an
+    // overflowed sum of squares), where `sqrt(e) > c` would be true —
+    // leave such extreme literals unrewritten.
+    case d: java.lang.Double => d >= 0.0 && !(d * d).isInfinity
     case _ => false
   }
 

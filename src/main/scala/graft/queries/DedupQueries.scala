@@ -12,6 +12,11 @@ import graft.dedup.Dedup
   */
 object DedupQueries {
 
+  // Text.tokens replicated in DuckDB (OracleSql.toks) — the oracle must
+  // normalize exactly like the Spark side or it only checks pre-normalized
+  // fixtures (ADVICE r01).
+  private val toksExpr = OracleSql.toks("text")
+
   /** q23: exact dedup by content hash (keep smallest id as canonical). */
   def q23DedupExact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -34,8 +39,8 @@ object DedupQueries {
   }
 
   val q24Sql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents
+    s"""WITH tok AS (
+      |  SELECT doc_id, $toksExpr AS toks FROM documents
       |), pos AS (
       |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
       |  FROM tok WHERE len(toks) >= 3
@@ -67,8 +72,8 @@ object DedupQueries {
   }
 
   val q25Sql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents
+    s"""WITH tok AS (
+      |  SELECT doc_id, $toksExpr AS toks FROM documents
       |), pos AS (
       |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
       |  FROM tok WHERE len(toks) >= 3
@@ -128,8 +133,8 @@ object DedupQueries {
   }
 
   val q39Sql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents
+    s"""WITH tok AS (
+      |  SELECT doc_id, $toksExpr AS toks FROM documents
       |), pos AS (
       |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
       |  FROM tok WHERE len(toks) >= 3
@@ -189,7 +194,7 @@ object DedupQueries {
   }
 
   val q38Sql: String =
-    """WITH j AS (
+    s"""WITH j AS (
       |  SELECT d.doc_id, d.text, e.embedding
       |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
       |), b AS (
@@ -218,8 +223,7 @@ object DedupQueries {
       |  GROUP BY c.doc_a, c.doc_b
       |  HAVING cosine >= 0.15
       |), tok AS (
-      |  SELECT doc_id,
-      |    unnest(list_distinct(list_filter(string_split(text,' '), t -> t <> ''))) AS tok
+      |  SELECT doc_id, unnest(list_distinct($toksExpr)) AS tok
       |  FROM documents
       |), sizes AS (
       |  SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
@@ -252,9 +256,8 @@ object DedupQueries {
   }
 
   val q36Sql: String =
-    """WITH tok AS (
-      |  SELECT doc_id,
-      |    unnest(list_distinct(list_filter(string_split(text,' '), t -> t <> ''))) AS tok
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct($toksExpr)) AS tok
       |  FROM documents
       |), h AS (SELECT doc_id, md5(tok) AS h FROM tok
       |), bits AS (SELECT doc_id, h, unnest(generate_series(0, 63)) AS bit FROM h
@@ -287,9 +290,8 @@ object DedupQueries {
       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
 
   val q26Sql: String =
-    """WITH tok AS (
-      |  SELECT doc_id,
-      |    unnest(list_distinct(list_filter(string_split(text,' '), t -> t <> ''))) AS tok
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct($toksExpr)) AS tok
       |  FROM documents
       |), h AS (SELECT doc_id, md5(tok) AS h FROM tok
       |), bits AS (SELECT doc_id, h, unnest(generate_series(0, 63)) AS bit FROM h

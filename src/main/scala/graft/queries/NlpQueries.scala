@@ -16,6 +16,9 @@ object NlpQueries {
 
   private val stopListSql = Text.stopwords.map(s => s"'$s'").mkString(", ")
 
+  // Text.tokens replicated in DuckDB — see OracleSql.toks (ADVICE r01).
+  private val toksExpr = OracleSql.toks("text")
+
   /** q16: topic modeling via c-TF-IDF — the parity centerpiece (B8). */
   def q16Topics(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -28,7 +31,7 @@ object NlpQueries {
 
   val q16Sql: String =
     s"""WITH tok AS (
-      |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+      |  SELECT lang, unnest($toksExpr) AS term FROM documents
       |), t AS (
       |  SELECT lang, term, COUNT(*) AS cnt FROM tok
       |  WHERE term <> '' AND term NOT IN ($stopListSql)
@@ -66,11 +69,13 @@ object NlpQueries {
   }
 
   val q17Sql: String =
-    """WITH toks AS (
+    s"""WITH tk AS (
+      |  SELECT lang, $toksExpr AS toks FROM documents
+      |), toks AS (
       |  SELECT lang,
-      |    unnest(string_split(text, ' ')) AS term,
-      |    unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
-      |  FROM documents
+      |    unnest(toks) AS term,
+      |    unnest(generate_series(1, len(toks))) AS pos
+      |  FROM tk
       |), weighted AS (
       |  SELECT lang, term, CASE WHEN pos <= 10 THEN 3 ELSE 1 END AS weight
       |  FROM toks WHERE LENGTH(term) >= 5
@@ -98,8 +103,8 @@ object NlpQueries {
     s"""WITH d AS (SELECT DISTINCT text FROM documents
       |), s AS (
       |  SELECT text,
-      |    len(list_filter(string_split(text, ' '), t -> t IN ($pos))) AS pos,
-      |    len(list_filter(string_split(text, ' '), t -> t IN ($neg))) AS neg
+      |    len(list_filter($toksExpr, t -> t IN ($pos))) AS pos,
+      |    len(list_filter($toksExpr, t -> t IN ($neg))) AS neg
       |  FROM d)
       |SELECT doc_id,
       |  CASE WHEN pos > neg THEN 2 WHEN pos < neg THEN 0 ELSE 1 END AS sentiment

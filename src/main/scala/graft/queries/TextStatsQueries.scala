@@ -12,6 +12,9 @@ object TextStatsQueries {
 
   private val stopListSql = Text.stopwords.map(s => s"'$s'").mkString(", ")
 
+  // Text.tokens replicated in DuckDB — see OracleSql.toks (ADVICE r01).
+  private val toksExpr = OracleSql.toks("text")
+
   /** q29: char-trigram language ID (profiles learned per labeled lang,
     * docs classified by profile overlap).
     */
@@ -68,7 +71,7 @@ object TextStatsQueries {
     val irr = Text.irregulars
       .map { case (f, t) => s"WHEN term = '$f' THEN '$t'" }.mkString(" ")
     s"""WITH tok AS (
-      |  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+      |  SELECT unnest($toksExpr) AS term
       |  FROM documents
       |), lem AS (
       |  SELECT CASE $irr
@@ -99,9 +102,7 @@ object TextStatsQueries {
 
   val q30Sql: String =
     s"""WITH tok AS (
-      |  SELECT doc_id, length(text) AS n_chars_t,
-      |    list_filter(string_split(regexp_replace(regexp_replace(lower(text),
-      |      '[^\\w\\s]', '', 'g'), '\\d+', '', 'g'), ' '), t -> t <> '') AS toks
+      |  SELECT doc_id, length(text) AS n_chars_t, $toksExpr AS toks
       |  FROM documents
       |), raw AS (
       |  SELECT doc_id,
@@ -141,8 +142,8 @@ object TextStatsQueries {
   }
 
   val q32Sql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents
+    s"""WITH tok AS (
+      |  SELECT doc_id, $toksExpr AS toks FROM documents
       |), pos AS (
       |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
       |  FROM tok WHERE len(toks) >= 3

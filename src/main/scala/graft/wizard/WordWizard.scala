@@ -182,9 +182,13 @@ object WordWizard {
     * 115-148): body mode collapses paragraph grain to article grain
     * (drop + dedup); paragraph mode adds a `sentences` array column
     * (produced-but-unconsumed in the reference — kept for schema parity,
-    * SURVEY.md §7.4.6). A deterministic row id is assigned with row_number
-    * over the interest text (P13: stable, oracle-matchable — NOT
-    * monotonically_increasing_id).
+    * SURVEY.md §7.4.6). The row id (P13) is deterministic AND distributed:
+    * xxhash64(interest text, rank among rows with the same text). A single
+    * global `row_number().over(Window.orderBy(text))` would move the whole
+    * corpus to one partition (WindowExec warning) — unacceptable at scale;
+    * hashing keeps the window partitioned by text, so only exact-duplicate
+    * texts co-locate. NOT monotonically_increasing_id (not stable across
+    * runs, so not oracle-matchable).
     */
   def apply(df: DataFrame, interest: String): WordWizard = {
     val base = interest match {
@@ -193,8 +197,12 @@ object WordWizard {
       case _ =>
         df.withColumn("sentences", Text.sentences(col(interest)))
     }
-    val withId = base.withColumn(RowId,
-      row_number().over(Window.orderBy(col(interest))).cast("long") - 1)
+    // Disambiguate exact-duplicate texts by a full-row hash order; ties after
+    // that are truly identical rows, so any rank among them is equivalent.
+    val allColsHash = xxhash64(base.columns.map(col).toIndexedSeq: _*)
+    val dupRank = row_number()
+      .over(Window.partitionBy(col(interest)).orderBy(allColsHash))
+    val withId = base.withColumn(RowId, xxhash64(col(interest), dupRank))
     new WordWizard(withId, interest)
   }
 }

@@ -32,6 +32,20 @@ class CleanerSpec extends SparkSpec {
     assert(got.toSeq == Seq(None, Some("long enough indeed!!")))
   }
 
+  test("body is exempt from blacklist and boilerplate nulling (content_cleaner.py:81-85,121-122)") {
+    val title = "A perfectly fine headline"
+    val bodyWithUrl =
+      ("Read the full statement at https://example.com/ir and please subscribe " +
+        "for cookie updates. ") + "x" * 400
+    val df = Seq(
+      (title, bodyWithUrl),                  // URL + blacklist words in body -> must survive
+      (title, "too short body")              // body min-length still applies -> dropped
+    ).toDF("title", "body")
+    val got = Cleaner.clean(df, Seq("title", "body"))
+    assert(got.count() == 1)
+    assert(got.head.getString(1).contains("https://example.com/ir"))
+  }
+
   test("clean drops rows with any flagged required column and is idempotent") {
     val ok = "x" * 25
     val df = Seq(
