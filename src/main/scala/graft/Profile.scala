@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: wall-clock the sub-stages of the benchmark hotspots so
+  * optimization work targets the actual cost, not a guess.
+  * `runMain graft.Profile [sfDir]`.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.dedup.Dedup
+
+    def t(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+    }
+
+    val docs = Tables(spark, sfDir, "documents")
+    docs.count() // warm cache
+
+    t("minhash signatures (q24 core)") {
+      Dedup.minHashSignatures(docs, "doc_id", "text", 3, 8).count()
+    }
+    val sig = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 8).cache()
+    t("sig cache materialize") { sig.count() }
+    val pairs = Dedup.lshCandidatePairs(sig, "doc_id", bandRows = 2).cache()
+    t("lsh candidate pairs") { pairs.count() }
+    t("estimate jaccard") { Dedup.estimateJaccard(pairs, sig, "doc_id").count() }
+    t("verify pairs") { Dedup.verifyPairs(pairs, docs, "doc_id", "text").count() }
+    t("q25 full") { graft.queries.DedupQueries.q25NeardupLsh(spark, sfDir).count() }
+    spark.catalog.clearCache()
+    t("q39 full") { graft.queries.DedupQueries.q39NeardupGroups(spark, sfDir).count() }
+    spark.catalog.clearCache()
+    t("q39 full again") { graft.queries.DedupQueries.q39NeardupGroups(spark, sfDir).count() }
+    spark.catalog.clearCache()
+    t("q39 cc only") {
+      val docs = Tables.balanced(spark, sfDir, "documents")
+      val sig = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 8).cache()
+      val cand = Dedup.lshCandidatePairs(sig, "doc_id", bandRows = 2)
+      val pairs = Dedup.estimateJaccard(cand, sig, "doc_id")
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b")).cache()
+      val np = pairs.count()
+      println(s"[profile]   pairs=$np")
+      val t0 = System.nanoTime()
+      val n = Dedup.connectedComponents(pairs).count()
+      println(f"[profile]   cc-only ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      n
+    }
+    spark.catalog.clearCache()
+    t("q29 full") { graft.queries.TextStatsQueries.q29LangId(spark, sfDir).count() }
+    spark.catalog.clearCache()
+    t("q36 simhash only") { Dedup.simHash(docs, "doc_id", "text").count() }
+    t("q36 full") { graft.queries.DedupQueries.q36SimhashNeardup(spark, sfDir).count() }
+    spark.catalog.clearCache()
+    t("q20 full") { graft.queries.NlpQueries.q20MedoidsPairwise(spark, sfDir).count() }
+    spark.stop()
+  }
+}

@@ -17,4 +17,23 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Read a table and spread it across the cluster when the file layout
+    * under-parallelizes the scan. A parquet file is splittable only at
+    * row-group boundaries, so a single-row-group file (the benchmark
+    * fixtures; also common for small dimension snapshots in a lake) scans
+    * as ONE task — and every per-row compute downstream (hashing,
+    * tokenizing, n-gramming) serializes on one core until the first
+    * shuffle. For compute-heavy operators we pay one tiny exchange up
+    * front to engage the whole cluster. At scale the guard is a no-op:
+    * 100 TB of parquet has orders of magnitude more row groups than
+    * cores, so `getNumPartitions >= target` and no shuffle is added.
+    * Catalyst still prunes columns and pushes filters through the
+    * round-robin exchange.
+    */
+  def balanced(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = apply(spark, dir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

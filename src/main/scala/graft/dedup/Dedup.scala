@@ -147,14 +147,36 @@ object Dedup {
     * Output: (doc_id, component) where component = min id in the group.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.sql.Observation
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
-    var changed = 1L
+    // init folds the FIRST propagation round into label creation:
+    // comp₀ = min(id, min neighbor). For the common near-dup shape (LSH
+    // buckets ≈ cliques/stars) this already IS the fixpoint, so the loop
+    // runs once only to confirm.
+    val sumExpr = sum(col("comp").cast("decimal(38,0)")).as("s")
+    val initObs = Observation("cc_init")
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("src").as("id"), least(col("src"), col("m")).as("comp"))
+      .observe(initObs, sumExpr)
+      .localCheckpoint()
+    // fixpoint detection without a separate job: comp values only ever
+    // decrease, so Σcomp strictly decreases exactly when any label changed
+    // (decimal sum — immune to long overflow at any id range). The sum is
+    // observed DURING the checkpoint materialization — each round is a
+    // single Spark job.
+    def observedSum(obs: Observation): java.math.BigDecimal =
+      obs.get("s") match {
+        case d: java.math.BigDecimal => d
+        case d: BigDecimal           => d.bigDecimal
+        case other => new java.math.BigDecimal(other.toString)
+      }
+    var prevSum = observedSum(initObs)
+    var changed = true
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    while (changed && i < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")), "dst")
         .groupBy(col("src")).agg(min(col("dst_comp")).as("nbr_comp"))
@@ -164,22 +186,25 @@ object Dedup {
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
       // pointer doubling: comp values are always node ids (invariant: min
       // over a set of ids containing the node itself), so comp(comp) is
-      // defined and ≤ comp — label trees flatten exponentially.
+      // defined and ≤ comp — label trees flatten exponentially and the
+      // round count is O(log diameter), not O(diameter).
+      val obs = Observation(s"cc_$i")
       val next = prop
         .join(prop.select(col("id").as("comp"), col("comp").as("comp2")),
           Seq("comp"), "left")
         .select(col("id"), coalesce(col("comp2"), col("comp")).as("comp"))
+        .observe(obs, sumExpr)
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("id"), col("comp").as("old_comp")), "id")
-        .filter(col("comp") =!= col("old_comp")).count()
+      val nextSum = observedSum(obs)
+      changed = nextSum.compareTo(prevSum) != 0
+      prevSum = nextSum
       labels = next
       i += 1
     }
-    if (changed > 0)
+    if (changed)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
-          s"($changed labels still changing) — component labels would be wrong")
+          "— component labels would be wrong")
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
   }
 

@@ -12,18 +12,6 @@ import org.apache.spark.sql.expressions.Window
   */
 object TextStats {
 
-  /** Character n-grams of `textCol` as one row per (doc, position).
-    * The n-gram array is built BEFORE the explode: exploding positions and
-    * slicing afterwards would carry the full document text into every
-    * position row (|text| × |positions| bytes through the Generate).
-    */
-  private def charNgramRows(df: DataFrame, idCols: Seq[Column],
-                            textCol: String, n: Int): DataFrame =
-    df.filter(length(col(textCol)) >= n)
-      .select(idCols :+ explode(transform(
-        sequence(lit(1), length(col(textCol)) - (n - 1)),
-        i => col(textCol).substr(i, lit(n)))).as("tri"): _*)
-
   /** Cavnar–Trenkle-style language ID: per-language top-`profileSize` char
     * trigram profiles learned from the labeled corpus itself, then each doc
     * classified by |doc-trigrams ∩ profile| with deterministic tie-break on
@@ -33,19 +21,29 @@ object TextStats {
     */
   def langIdByTrigram(df: DataFrame, idCol: String, textCol: String,
                       langCol: String, profileSize: Int = 20): DataFrame = {
-    val tri = charNgramRows(df, Seq(col(idCol), col(langCol)), textCol, 3)
-    // one pass over the exploded trigrams: (doc, tri) counts feed BOTH the
-    // profile aggregation and the distinct doc-trigram set (lang is
-    // functionally dependent on doc, so this grain is distinct (doc, tri))
-    val docTriCnt = tri.groupBy(col(idCol), col(langCol), col("tri"))
-      .agg(count(lit(1)).as("cnt")).cache()
-    val profile = docTriCnt.groupBy(col(langCol), col("tri"))
-      .agg(sum(col("cnt")).as("cnt"))
+    // trigram ARRAY per doc (map-side): both consumers derive from it
+    val tris = df.filter(length(col(textCol)) >= 3)
+      .select(col(idCol), col(langCol),
+        transform(sequence(lit(1), length(col(textCol)) - 2),
+          i => col(textCol).substr(i, lit(3))).as("tris"))
+    // profile: aggregate trigram INSTANCES directly on (lang, tri) — the
+    // hash-agg's map-side combine collapses each partition to its distinct
+    // (lang, tri) set before the shuffle, so nothing at (doc, tri) grain
+    // ever crosses the wire (that grain is ~|corpus| rows; this one is
+    // ~|langs × alphabet³| — corpus-size-independent)
+    val profile = tris
+      .select(col(langCol), explode(col("tris")).as("tri"))
+      .groupBy(col(langCol), col("tri"))
+      .agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col(langCol)).orderBy(col("cnt").desc, col("tri"))))
       .filter(col("rk") <= profileSize)
       .select(col(langCol).as("prof_lang"), col("tri"))
-    val docTri = docTriCnt.select(col(idCol), col("tri"))
+    // doc-trigram SET: dedup in-row (array_distinct) before exploding — no
+    // shuffle; the broadcast profile join then keeps only profile hits, so
+    // the (doc, prof_lang) aggregation sees ≤ profileSize·|langs| rows/doc
+    val docTri = tris.select(col(idCol),
+      explode(array_distinct(col("tris"))).as("tri"))
     val best = docTri.join(broadcast(profile), "tri")
       .groupBy(col(idCol), col("prof_lang"))
       .agg(count(lit(1)).as("overlap"))

@@ -19,7 +19,7 @@ object CleanerQueries {
     */
   def q15Clean(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables(spark, dir, "documents")
+    val docs = Tables.balanced(spark, dir, "documents")
       .withColumn("title", substring($"text", 1, 30))
       .withColumn("paragraph", substring($"text", 41, 2000))
     val blacklistRe = "(?i)(error|crash)"

@@ -20,7 +20,7 @@ object DedupQueries {
   /** q23: exact dedup by content hash (keep smallest id as canonical). */
   def q23DedupExact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Dedup.exact(Tables(spark, dir, "documents"), "doc_id", "text")
+    Dedup.exact(Tables.balanced(spark, dir, "documents"), "doc_id", "text")
       .orderBy($"content_md5")
   }
 
@@ -32,7 +32,7 @@ object DedupQueries {
   /** q24: MinHash signatures (8 seeded hashes over 3-token shingles). */
   def q24MinhashSig(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Dedup.minHashSignatures(Tables(spark, dir, "documents"),
+    Dedup.minHashSignatures(Tables.balanced(spark, dir, "documents"),
         "doc_id", "text", shingleSize = 3, numHashes = 8)
       .withColumn("seed", $"seed".cast("long"))
       .orderBy($"doc_id", $"seed")
@@ -59,7 +59,7 @@ object DedupQueries {
     */
   def q25NeardupLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables(spark, dir, "documents")
+    val docs = Tables.balanced(spark, dir, "documents")
     // the signature subtree feeds banding + both sides of the estimate —
     // materialize once (tiny: numHashes rows/doc) instead of recomputing
     // the shingle scan three times
@@ -122,7 +122,7 @@ object DedupQueries {
     */
   def q39NeardupGroups(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables(spark, dir, "documents")
+    val docs = Tables.balanced(spark, dir, "documents")
     val sig = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 8).cache()
     val cand = Dedup.lshCandidatePairs(sig, "doc_id", bandRows = 2)
     val pairs = Dedup.estimateJaccard(cand, sig, "doc_id")
@@ -179,8 +179,8 @@ object DedupQueries {
     */
   def q38EmbedDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables(spark, dir, "documents")
-    val emb = Tables(spark, dir, "embeddings")
+    val docs = Tables.balanced(spark, dir, "documents")
+    val emb = Tables.balanced(spark, dir, "embeddings")
     val joined = docs.join(emb, docs("doc_id") === emb("vec_id"))
       .select($"doc_id", $"text", $"embedding")
     val pairs = graft.sim.Similarity
@@ -241,7 +241,7 @@ object DedupQueries {
   /** q26: SimHash 64-bit signature per doc (as '0'/'1' string). */
   def q26Simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Dedup.simHash(Tables(spark, dir, "documents"), "doc_id", "text")
+    Dedup.simHash(Tables.balanced(spark, dir, "documents"), "doc_id", "text")
       .orderBy($"doc_id")
   }
 
@@ -250,7 +250,7 @@ object DedupQueries {
     */
   def q36SimhashNeardup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Dedup.simhashNearDup(Tables(spark, dir, "documents"),
+    Dedup.simhashNearDup(Tables.balanced(spark, dir, "documents"),
         "doc_id", "text", maxHamming = 3, chunks = 4)
       .orderBy($"doc_a", $"doc_b")
   }

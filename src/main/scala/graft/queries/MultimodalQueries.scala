@@ -14,7 +14,7 @@ object MultimodalQueries {
   /** q33: binary ingestion metadata (octet length, md5 of the raw bytes). */
   def q33BinaryFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, dir, "documents")
+    Tables.balanced(spark, dir, "documents")
       .select($"doc_id", lit("text").as("modality"),
         encode($"text", "utf-8").as("bin"))
       .select($"doc_id", $"modality",

@@ -22,7 +22,7 @@ object NlpQueries {
   /** q16: topic modeling via c-TF-IDF — the parity centerpiece (B8). */
   def q16Topics(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables(spark, dir, "documents")
+    val docs = Tables.balanced(spark, dir, "documents")
     Topics.topTerms(docs, "lang",
         Text.removeStopwords(Text.tokens($"text")), 20)
       .withColumn("rk", $"rk".cast("long"))
@@ -57,7 +57,7 @@ object NlpQueries {
     */
   def q17WeightedNer(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables(spark, dir, "documents")
+    val docs = Tables.balanced(spark, dir, "documents")
       .withColumn("toks", Text.tokens($"text"))
     Ner.topEntities(docs, "lang",
         zones = Seq(
@@ -92,7 +92,7 @@ object NlpQueries {
   /** q18: sentiment with distinct→score→join dataflow (A10/B4). */
   def q18Sentiment(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Sentiment.score(Tables(spark, dir, "documents"), "text", "sentiment")
+    Sentiment.score(Tables.balanced(spark, dir, "documents"), "text", "sentiment")
       .select($"doc_id", $"sentiment")
       .orderBy($"doc_id")
   }
@@ -114,7 +114,7 @@ object NlpQueries {
   /** q19: KMeans-style medoids — n closest to centroid per cluster (W1). */
   def q19Medoids(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Medoids.byCentroid(Tables(spark, dir, "embeddings"),
+    Medoids.byCentroid(Tables.balanced(spark, dir, "embeddings"),
         "vec_id", "label", "embedding", 2)
       .withColumn("medoid_rank", $"medoid_rank".cast("long"))
       .orderBy($"label", $"vec_id")
@@ -145,7 +145,7 @@ object NlpQueries {
     */
   def q20MedoidsPairwise(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Medoids.byPairwise(Tables(spark, dir, "embeddings"),
+    Medoids.byPairwise(Tables.balanced(spark, dir, "embeddings"),
         "vec_id", "label", "embedding", 1)
       .withColumn("medoid_rank", $"medoid_rank".cast("long"))
       .orderBy($"label")
@@ -176,8 +176,8 @@ object NlpQueries {
     */
   def q21SummarizeMedoids(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables(spark, dir, "documents")
-    val medoids = Medoids.byCentroid(Tables(spark, dir, "embeddings"),
+    val docs = Tables.balanced(spark, dir, "documents")
+    val medoids = Medoids.byCentroid(Tables.balanced(spark, dir, "embeddings"),
       "vec_id", "label", "embedding", 2)
     val summaries = docs
       .join(medoids, docs("doc_id") === medoids("vec_id"))
@@ -219,7 +219,7 @@ object NlpQueries {
   def q22VizFrame(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"label")
-    Tables(spark, dir, "embeddings")
+    Tables.balanced(spark, dir, "embeddings")
       .select($"vec_id", $"label",
         element_at($"embedding", 1).cast("double").as("x"),
         element_at($"embedding", 2).cast("double").as("y"))

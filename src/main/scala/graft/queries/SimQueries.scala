@@ -18,7 +18,7 @@ object SimQueries {
     */
   def q27EmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Similarity.bucketedPairs(Tables(spark, dir, "embeddings"),
+    Similarity.bucketedPairs(Tables.balanced(spark, dir, "embeddings"),
         "vec_id", "embedding", bits = 8)
       .orderBy($"vec_a", $"vec_b")
   }
@@ -55,7 +55,7 @@ object SimQueries {
     */
   def q28AnnTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val emb = Tables(spark, dir, "embeddings")
+    val emb = Tables.balanced(spark, dir, "embeddings")
     Similarity.bruteForceTopK(
         emb.filter($"vec_id" < 10), emb, "vec_id", "embedding", k = 5)
       .orderBy($"query_id", $"rk")

@@ -20,7 +20,7 @@ object TextStatsQueries {
     */
   def q29LangId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    TextStats.langIdByTrigram(Tables(spark, dir, "documents"),
+    TextStats.langIdByTrigram(Tables.balanced(spark, dir, "documents"),
         "doc_id", "text", "lang", profileSize = 20)
       .select($"doc_id", $"lang",
         coalesce($"pred_lang", lit("und")).as("pred_lang"),
@@ -58,7 +58,7 @@ object TextStatsQueries {
   def q37LemmaCount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    Tables(spark, dir, "documents")
+    Tables.balanced(spark, dir, "documents")
       .select(explode(Text.lemmatize(Text.tokens($"text"))).as("lemma"))
       .groupBy($"lemma").agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(
@@ -94,7 +94,7 @@ object TextStatsQueries {
   /** q30: quality features + composite score per doc. */
   def q30Quality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    TextStats.qualityScore(Tables(spark, dir, "documents"), "text")
+    TextStats.qualityScore(Tables.balanced(spark, dir, "documents"), "text")
       .select($"doc_id", $"n_tokens", $"n_distinct", $"stopword_ratio",
         $"chars_per_token", $"quality")
       .orderBy($"doc_id")
@@ -121,7 +121,7 @@ object TextStatsQueries {
   /** q31: token counting — whitespace, BPE-ish regex, chars/4 estimate. */
   def q31TokenCount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    TextStats.tokenCounts(Tables(spark, dir, "documents"), "text")
+    TextStats.tokenCounts(Tables.balanced(spark, dir, "documents"), "text")
       .select($"doc_id", $"tokens_ws", $"tokens_re", $"tokens_bpe_est")
       .orderBy($"doc_id")
   }
@@ -136,7 +136,7 @@ object TextStatsQueries {
   /** q32: winnowing document fingerprint (k=3 shingles, window=4). */
   def q32Fingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    TextStats.winnowFingerprint(Tables(spark, dir, "documents"),
+    TextStats.winnowFingerprint(Tables.balanced(spark, dir, "documents"),
         "doc_id", "text", k = 3, window = 4)
       .orderBy($"doc_id")
   }
