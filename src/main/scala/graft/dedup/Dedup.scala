@@ -133,24 +133,84 @@ object Dedup {
   }
 
   /** Connected components over a near-dup pair graph — pairs → dedup
-    * GROUPS (one canonical keeper per component). Each round combines
-    * min-label propagation (every node adopts the smallest component id
-    * among itself and its neighbors) with pointer doubling
-    * (comp ← comp(comp), the large-star shortcut), so convergence is
-    * O(log diameter) rounds instead of O(diameter) — a 2^20-long dup chain
-    * resolves in ~20 rounds. Each round is joins + one aggregate, all
-    * partition-parallel — no driver-side graph. Intermediate frames are
-    * localCheckpoint'ed: without truncation the logical plan (and its
-    * analysis cost) grows per iteration even when results are cached.
-    * Throws if maxIter rounds don't reach the fixpoint — silently wrong
-    * components are worse than a loud failure (ADVICE r01).
+    * GROUPS (one canonical keeper per component).
     * Output: (doc_id, component) where component = min id in the group.
+    *
+    * Two physical strategies, picked by edge count:
+    *
+    * 1. `edges ≤ localEdgeThreshold` — a single-task union-find
+    *    (path-halving + union-by-min) over the deduped edge list. The pair
+    *    graph of a near-dup stage is orders of magnitude smaller than the
+    *    corpus (it holds only colliding candidates, not documents), so even
+    *    a 100 TB corpus typically yields well under the default 20 M edges
+    *    ≈ 320 MB of longs — one executor core chews that in seconds, with
+    *    zero shuffle rounds. This is the same "collect-to-one-partition
+    *    when small" escape hatch GraphFrames' CC applies (public
+    *    `org.graphframes` broadcastThreshold design), minus the driver:
+    *    the solve stays in an executor task.
+    *
+    * 2. larger graphs — iterative min-label propagation + pointer doubling
+    *    (comp ← comp(comp), the large-star shortcut), O(log diameter)
+    *    rounds, each a set of partition-parallel joins; frames are
+    *    localCheckpoint'ed so the logical plan doesn't grow per round, and
+    *    Σcomp (observed during materialization — no extra job) detects the
+    *    fixpoint. Throws if maxIter rounds don't converge — silently wrong
+    *    components are worse than a loud failure (ADVICE r01).
+    *
+    * An empty pair graph short-circuits to an empty (doc_id, component)
+    * frame (ADVICE r02: the Observation-based sum is null on zero rows).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    import org.apache.spark.sql.Observation
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+                          localEdgeThreshold: Long = 20000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val dedupedPairs = pairs
+      .select(col("doc_a").cast("long").as("a"), col("doc_b").cast("long").as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = dedupedPairs.count()
+    if (m == 0) {
+      dedupedPairs.unpersist(false)
+      return pairs.select(col("doc_a").cast("long").as("doc_id"),
+        col("doc_b").cast("long").as("component")).limit(0)
+    }
+    if (m <= localEdgeThreshold) {
+      return dedupedPairs
+        .select(col("a").as("_1"), col("b").as("_2")).as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x0: Long): Long = {
+            var x = x0
+            var p = parent(x)
+            while (p != x) { // path halving
+              val gp = parent(p)
+              parent(x) = gp
+              x = gp
+              p = parent(x)
+            }
+            x
+          }
+          it.foreach { case (a, b) =>
+            if (!parent.contains(a)) parent(a) = a
+            if (!parent.contains(b)) parent(b) = b
+            val ra = find(a)
+            val rb = find(b)
+            // union-by-min: the smaller id becomes the root, so every
+            // root is the min id of its component — exactly the
+            // min-reachable-id labeling the oracle's transitive closure
+            // computes.
+            if (ra < rb) parent(rb) = ra
+            else if (rb < ra) parent(ra) = rb
+          }
+          parent.keys.toArray.iterator.map(k => (k, find(k)))
+        }
+        .toDF("doc_id", "component")
+    }
+    val edges = dedupedPairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(dedupedPairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct().localCheckpoint()
+    import org.apache.spark.sql.Observation
     // init folds the FIRST propagation round into label creation:
     // comp₀ = min(id, min neighbor). For the common near-dup shape (LSH
     // buckets ≈ cliques/stars) this already IS the fixpoint, so the loop
@@ -169,6 +229,7 @@ object Dedup {
     // single Spark job.
     def observedSum(obs: Observation): java.math.BigDecimal =
       obs.get("s") match {
+        case null                    => java.math.BigDecimal.ZERO // no rows
         case d: java.math.BigDecimal => d
         case d: BigDecimal           => d.bigDecimal
         case other => new java.math.BigDecimal(other.toString)

@@ -16,10 +16,19 @@ object Text {
   val stopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for")
 
-  /** F9–F11: lowercase, strip punctuation/digits, whitespace tokenize. */
+  /** F9–F11: lowercase, strip punctuation/digits, whitespace tokenize.
+    * The leading `\x0B → ' '` normalization pins down the one character
+    * where Java's `\s` ([ \t\n\x0B\f\r]) and DuckDB/RE2's `\s`
+    * ([ \t\n\f\r]) disagree: without it, a vertical tab splits tokens here
+    * but is *stripped* (gluing its neighbors together) by the oracle's
+    * `[^\w\s]` — a latent cross-engine divergence (ADVICE r02). `\w` is
+    * ASCII-identical in both engines, so no other class differs.
+    * OracleSql.toks applies the same normalization.
+    */
   def tokens(c: Column): Column =
     filter(
-      split(regexp_replace(regexp_replace(lower(c), "[^\\w\\s]", ""), "\\d+", ""), "\\s+"),
+      split(regexp_replace(regexp_replace(
+        regexp_replace(lower(c), "\\x0B", " "), "[^\\w\\s]", ""), "\\d+", ""), "\\s+"),
       t => t =!= "")
 
   /** F13: drop stopwords from a token array. */

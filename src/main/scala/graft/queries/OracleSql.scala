@@ -14,9 +14,13 @@ object OracleSql {
 
   /** DuckDB expression replicating Text.tokens(col): list of non-empty,
     * lowercased, punctuation/digit-stripped tokens split on whitespace runs.
+    * The `\x0B → ' '` pre-pass mirrors Text.tokens — vertical tab is the one
+    * character Java's `\s` contains and RE2's does not, so without the
+    * normalization the engines tokenize such text differently (ADVICE r02).
     */
   def toks(col: String): String =
     s"list_filter(regexp_split_to_array(regexp_replace(regexp_replace(" +
-      s"lower($col), '[^\\w\\s]', '', 'g'), '\\d+', '', 'g'), '\\s+'), " +
+      s"regexp_replace(lower($col), '\\x0B', ' ', 'g'), " +
+      s"'[^\\w\\s]', '', 'g'), '\\d+', '', 'g'), '\\s+'), " +
       "t -> t <> '')"
 }

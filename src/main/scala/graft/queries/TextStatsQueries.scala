@@ -54,16 +54,23 @@ object TextStatsQueries {
       |  COALESCE(d.lang = b.pred_lang, FALSE) AS correct
       |FROM documents d LEFT JOIN best b USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
-  /** q37: top-50 lemmatized terms (F14 lemmatizer over the corpus). */
+  /** q37: top-50 lemmatized terms (F14 lemmatizer over the corpus).
+    * Top-k FIRST via orderBy+limit — Spark plans TakeOrderedAndProject
+    * (per-partition partial top-50, tiny driver merge), so no vocabulary-
+    * sized single-partition WindowExec at any corpus size; the rank window
+    * then runs over exactly 50 rows (partitionBy(lit) keeps WindowExec on
+    * its no-warning path).
+    */
   def q37LemmaCount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     Tables.balanced(spark, dir, "documents")
       .select(explode(Text.lemmatize(Text.tokens($"text"))).as("lemma"))
       .groupBy($"lemma").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"lemma")
+      .limit(50)
       .withColumn("rk", row_number().over(
-        Window.orderBy($"cnt".desc, $"lemma")).cast("long"))
-      .filter($"rk" <= 50)
+        Window.partitionBy(lit(0)).orderBy($"cnt".desc, $"lemma")).cast("long"))
       .orderBy($"rk")
   }
 

@@ -183,12 +183,15 @@ object WordWizard {
     * (drop + dedup); paragraph mode adds a `sentences` array column
     * (produced-but-unconsumed in the reference — kept for schema parity,
     * SURVEY.md §7.4.6). The row id (P13) is deterministic AND distributed:
-    * xxhash64(interest text, rank among rows with the same text). A single
+    * md5(interest text) + the rank among rows with the same text. A single
     * global `row_number().over(Window.orderBy(text))` would move the whole
     * corpus to one partition (WindowExec warning) — unacceptable at scale;
     * hashing keeps the window partitioned by text, so only exact-duplicate
     * texts co-locate. NOT monotonically_increasing_id (not stable across
-    * runs, so not oracle-matchable).
+    * runs, so not oracle-matchable). Width: 128-bit md5 ⊕ rank, not a bare
+    * 64-bit hash — at multi-billion-row scale the 64-bit birthday bound
+    * (~4e9) makes collisions plausible, and a collision would silently
+    * duplicate rows through the medoid/summary left joins (ADVICE r02).
     */
   def apply(df: DataFrame, interest: String): WordWizard = {
     val base = interest match {
@@ -202,7 +205,8 @@ object WordWizard {
     val allColsHash = xxhash64(base.columns.map(col).toIndexedSeq: _*)
     val dupRank = row_number()
       .over(Window.partitionBy(col(interest)).orderBy(allColsHash))
-    val withId = base.withColumn(RowId, xxhash64(col(interest), dupRank))
+    val withId = base.withColumn(RowId,
+      concat_ws("_", md5(col(interest)), dupRank))
     new WordWizard(withId, interest)
   }
 }

@@ -61,6 +61,28 @@ class DedupSpec extends SparkSpec {
       8L -> 8L, 9L -> 8L, 10L -> 8L))
   }
 
+  test("connectedComponents on an empty pair graph returns an empty frame") {
+    // ADVICE r02: the Observation-based convergence sum is null on zero
+    // rows — must short-circuit, not NPE.
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+    assert(got.columns.toSeq == Seq("doc_id", "component"))
+    assert(got.count() == 0)
+  }
+
+  test("connectedComponents distributed path agrees with union-find path") {
+    // force the iterative branch with a threshold below the edge count
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (12L, 11L))
+      .toDF("doc_a", "doc_b")
+    val local = Dedup.connectedComponents(pairs)
+      .collect.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(pairs, localEdgeThreshold = 0L)
+      .collect.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+    assert(local == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
   test("verifyPairs with shingles: stricter than unigram jaccard on reordered text") {
     val reordered = Seq(
       (0L, "alpha beta gamma delta"),
