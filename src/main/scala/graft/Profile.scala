@@ -35,11 +35,10 @@ object Profile {
     t("minhash signatures (q24 core)") {
       Dedup.minHashSignatures(docs, "doc_id", "text", 3, 8).count()
     }
-    val sig = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 8).cache()
+    val sig = Dedup.minHashWide(docs, "doc_id", "text", 3, 8).cache()
     t("sig cache materialize") { sig.count() }
     val pairs = Dedup.lshCandidatePairs(sig, "doc_id", bandRows = 2).cache()
-    t("lsh candidate pairs") { pairs.count() }
-    t("estimate jaccard") { Dedup.estimateJaccard(pairs, sig, "doc_id").count() }
+    t("lsh candidate pairs + estimate") { pairs.count() }
     t("verify pairs") { Dedup.verifyPairs(pairs, docs, "doc_id", "text").count() }
     t("q25 full") { graft.queries.DedupQueries.q25NeardupLsh(spark, sfDir).count() }
     spark.catalog.clearCache()
@@ -49,9 +48,8 @@ object Profile {
     spark.catalog.clearCache()
     t("q39 cc only") {
       val docs = Tables.balanced(spark, sfDir, "documents")
-      val sig = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 8).cache()
-      val cand = Dedup.lshCandidatePairs(sig, "doc_id", bandRows = 2)
-      val pairs = Dedup.estimateJaccard(cand, sig, "doc_id")
+      val sig = Dedup.minHashWide(docs, "doc_id", "text", 3, 8)
+      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", bandRows = 2)
         .filter(col("est_jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b")).cache()
       val np = pairs.count()

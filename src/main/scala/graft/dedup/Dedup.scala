@@ -39,6 +39,20 @@ object Dedup {
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, numHashes: Int = 8): DataFrame = {
+    val wide = minHashWide(df, idCol, textCol, shingleSize, numHashes)
+    val kv = (0 until numHashes).flatMap(i =>
+      Seq(lit(i), element_at(col("sig"), i + 1)))
+    wide.select(col(idCol), explode(map(kv: _*)).as(Seq("seed", "minhash")))
+  }
+
+  /** MinHash signature as ONE array column per doc — the engine-internal
+    * form: (id, sig: array<string>[numHashes]). Banding, candidate joins
+    * and Jaccard estimation all derive from it in-row, so nothing at
+    * (doc, seed) grain ever shuffles. [[minHashSignatures]] unpivots this
+    * for the row-grain API/oracle surface.
+    */
+  def minHashWide(df: DataFrame, idCol: String, textCol: String,
+                  shingleSize: Int = 3, numHashes: Int = 8): DataFrame = {
     // materialize tokens as a column FIRST: inlining Text.tokens into the
     // ngrams lambda would re-run the regex tokenizer once per shingle
     // (slice(toks,...) evaluates its input per transform element)
@@ -46,45 +60,36 @@ object Dedup {
       .select(col(idCol), explode(Text.ngrams(col("toks"), shingleSize)).as("sh"))
     val aggs = (0 until numHashes).map(i =>
       min(md5(concat(lit(s"$i|"), col("sh")))).as(s"h$i"))
-    val wide = sh.groupBy(col(idCol)).agg(aggs.head, aggs.drop(1): _*)
-    val kv = (0 until numHashes).flatMap(i => Seq(lit(i), col(s"h$i")))
-    wide.select(col(idCol), explode(map(kv: _*)).as(Seq("seed", "minhash")))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.drop(1): _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
-  /** LSH banding over minhash signatures: seeds are grouped into bands of
-    * `bandRows`; docs sharing any full band signature become candidate
-    * pairs. One shuffle on (band, signature); a pair matching several bands
-    * is emitted once.
+  /** LSH banding over wide minhash signatures: seeds are grouped into bands
+    * of `bandRows`; docs sharing any full band signature become candidate
+    * pairs, each carrying its minhash-estimated Jaccard (fraction of
+    * agreeing hashes — exact rational k/numHashes, engine-portable),
+    * computed IN-ROW from the two signature arrays at the moment the pair
+    * is formed. One shuffle on (band, bsig) and one pair-grain distinct —
+    * the (doc, seed)-grain signature join + re-aggregation of the textbook
+    * formulation never happens. Output: (doc_a, doc_b, est_jaccard).
     */
-  def lshCandidatePairs(signatures: DataFrame, idCol: String,
+  def lshCandidatePairs(wide: DataFrame, idCol: String,
                         bandRows: Int = 2): DataFrame = {
-    val bands = signatures
-      .withColumn("band", (col("seed") / lit(bandRows)).cast("int"))
-      .groupBy(col(idCol), col("band"))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("seed"), col("minhash")))),
-        x => x("minhash")), "").as("sig"))
-    val a = bands.select(col(idCol).as("doc_a"), col("band"), col("sig"))
-    val b = bands.select(col(idCol).as("doc_b"), col("band"), col("sig"))
-    a.join(b, Seq("band", "sig"))
+    val nBands = (size(col("sig")) / bandRows).cast("int") // sig length is uniform
+    val banded = wide.select(col(idCol), col("sig"),
+        explode(sequence(lit(0), nBands - 1)).as("band"))
+      .withColumn("bsig",
+        array_join(slice(col("sig"), col("band") * bandRows + 1, lit(bandRows)), ""))
+    val a = banded.select(col(idCol).as("doc_a"), col("sig").as("sig_a"),
+      col("band"), col("bsig"))
+    val b = banded.select(col(idCol).as("doc_b"), col("sig").as("sig_b"),
+      col("band"), col("bsig"))
+    a.join(b, Seq("band", "bsig"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _),
+          x => x)) / size(col("sig_a")).cast("double")).as("est_jaccard"))
       .distinct()
-  }
-
-  /** Estimated Jaccard for candidate pairs: fraction of agreeing minhashes.
-    * Exact rational arithmetic (matches / numHashes) → engine-portable.
-    */
-  def estimateJaccard(pairs: DataFrame, signatures: DataFrame,
-                      idCol: String): DataFrame = {
-    val sa = signatures.select(col(idCol).as("doc_a"), col("seed"),
-      col("minhash").as("ha"))
-    val sb = signatures.select(col(idCol).as("doc_b"), col("seed"),
-      col("minhash").as("hb"))
-    pairs.join(sa, "doc_a").join(sb, Seq("doc_b", "seed"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg((sum(when(col("ha") === col("hb"), 1).otherwise(0)) /
-            count(lit(1))).as("est_jaccard"))
   }
 
   /** SimHash: 64-bit signature from the doc's distinct tokens. Bit b of
@@ -104,32 +109,39 @@ object Dedup {
 
   /** Verification stage: exact n-gram-set Jaccard for the candidate pairs
     * the bands emitted (ngramSize=1 → unigram sets; 2/3 → shingle sets,
-    * stricter about word order). Cost is O(pairs × grams-per-doc) — the
-    * whole point of LSH is that `pairs` is tiny relative to n², so this
-    * join is cheap at any corpus size.
+    * stricter about word order). Pairs with NO shared grams never join —
+    * the bands found them by hash agreement, so a zero-overlap candidate is
+    * a hash collision, not a near-dup.
+    *
+    * Plan shape: the gram SET is materialized once per doc as an array
+    * column (bounded per-doc payload), and each pair picks up both sides
+    * with two hash joins; intersection/union sizes are computed in-row via
+    * `array_intersect` — no gram-grain explode, no per-pair
+    * re-aggregation. Cost is O(pairs × grams-per-doc) — the whole point of
+    * LSH is that `pairs` is tiny relative to n², so this is cheap at any
+    * corpus size.
     * Output: (doc_a, doc_b, jaccard).
     */
   def verifyPairs(pairs: DataFrame, df: DataFrame, idCol: String,
                   textCol: String, ngramSize: Int = 1): DataFrame = {
-    val grams =
-      if (ngramSize <= 1) Text.tokens(col(textCol))
-      else Text.ngrams(col("toks"), ngramSize)
-    val tok =
-      (if (ngramSize <= 1) df
-       else df.withColumn("toks", Text.tokens(col(textCol))))
-        .select(col(idCol).as("vp_id"),
-          explode(array_distinct(grams)).as("tok"))
-    val sizes = tok.groupBy(col("vp_id")).agg(count(lit(1)).as("n"))
-    val inter = pairs
-      .join(tok.select(col("vp_id").as("doc_a"), col("tok")), "doc_a")
-      .join(tok.select(col("vp_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("vp_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("vp_id").as("doc_b"), col("n").as("nb")), "doc_b")
+    // tokens materialized as a column before n-gramming — inlining the
+    // tokenizer into the ngrams lambda re-runs the regex once per shingle
+    val sets =
+      (if (ngramSize <= 1)
+        df.select(col(idCol).as("vp_id"),
+          array_distinct(Text.tokens(col(textCol))).as("gset"))
+      else
+        df.withColumn("toks", Text.tokens(col(textCol)))
+          .select(col(idCol).as("vp_id"),
+            array_distinct(Text.ngrams(col("toks"), ngramSize)).as("gset")))
+    pairs
+      .join(sets.select(col("vp_id").as("doc_a"), col("gset").as("ga")), "doc_a")
+      .join(sets.select(col("vp_id").as("doc_b"), col("gset").as("gb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .filter(col("inter") > 0)
       .select(col("doc_a"), col("doc_b"),
-        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+        (col("inter") /
+          (size(col("ga")) + size(col("gb")) - col("inter"))).as("jaccard"))
   }
 
   /** Connected components over a near-dup pair graph — pairs → dedup
@@ -294,8 +306,11 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         graft.functions.VecExprs.hamming(col("sha"), col("shb")).as("hamming"))
-      .distinct()
+      // threshold BEFORE the pair-grain distinct: hamming is in-row and
+      // functionally dependent on the pair, so filtering first shrinks the
+      // distinct's shuffle to the matching pairs only
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact n-gram (here: unigram set) Jaccard for candidate pairs restricted

@@ -15,45 +15,61 @@ object TextStats {
   /** Cavnar–Trenkle-style language ID: per-language top-`profileSize` char
     * trigram profiles learned from the labeled corpus itself, then each doc
     * classified by |doc-trigrams ∩ profile| with deterministic tie-break on
-    * language code. Profiles are k·|langs| rows → broadcast join against the
-    * doc-trigram set; one aggregation per side, no n² anywhere.
-    * Output: (id, lang, pred_lang, correct).
+    * language code. Output: (id, lang, pred_lang, correct).
+    *
+    * Plan shape, sized for a 100 TB corpus:
+    *  - The profile aggregation shuffles (lang, tri) COUNTS, never (doc,
+    *    tri) rows — hash-agg partial combine collapses each partition to
+    *    its distinct trigram set first, so the exchange is
+    *    ~|langs × alphabet³| rows, corpus-size-independent.
+    *  - The finished profile (≤ profileSize·|langs| rows — a bounded model,
+    *    like KMeans centroids) is collected and inlined as a LITERAL into
+    *    the classify projection: pred_lang = argmax over langs of
+    *    size(array_intersect(doc_trigrams, profile(lang))), computed
+    *    entirely map-side in one codegen'd pass over the corpus. No
+    *    explode at doc grain, no join, no per-doc aggregation, no window —
+    *    the per-doc stage is a scan-project at any scale. (The previous
+    *    formulation exploded every doc's distinct trigrams and re-shuffled
+    *    them through a groupBy + rank window — 4 extra corpus-grain
+    *    stages for the same answer.)
     */
   def langIdByTrigram(df: DataFrame, idCol: String, textCol: String,
                       langCol: String, profileSize: Int = 20): DataFrame = {
-    // trigram ARRAY per doc (map-side): both consumers derive from it
-    val tris = df.filter(length(col(textCol)) >= 3)
-      .select(col(idCol), col(langCol),
-        transform(sequence(lit(1), length(col(textCol)) - 2),
-          i => col(textCol).substr(i, lit(3))).as("tris"))
-    // profile: aggregate trigram INSTANCES directly on (lang, tri) — the
-    // hash-agg's map-side combine collapses each partition to its distinct
-    // (lang, tri) set before the shuffle, so nothing at (doc, tri) grain
-    // ever crosses the wire (that grain is ~|corpus| rows; this one is
-    // ~|langs × alphabet³| — corpus-size-independent)
-    val profile = tris
-      .select(col(langCol), explode(col("tris")).as("tri"))
+    val tris = transform(sequence(lit(1), length(col(textCol)) - 2),
+      i => col(textCol).substr(i, lit(3)))
+    val profile = df.filter(length(col(textCol)) >= 3)
+      .select(col(langCol), explode(tris).as("tri"))
       .groupBy(col(langCol), col("tri"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col(langCol)).orderBy(col("cnt").desc, col("tri"))))
       .filter(col("rk") <= profileSize)
       .select(col(langCol).as("prof_lang"), col("tri"))
-    // doc-trigram SET: dedup in-row (array_distinct) before exploding — no
-    // shuffle; the broadcast profile join then keeps only profile hits, so
-    // the (doc, prof_lang) aggregation sees ≤ profileSize·|langs| rows/doc
-    val docTri = tris.select(col(idCol),
-      explode(array_distinct(col("tris"))).as("tri"))
-    val best = docTri.join(broadcast(profile), "tri")
-      .groupBy(col(idCol), col("prof_lang"))
-      .agg(count(lit(1)).as("overlap"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col(idCol))
-          .orderBy(col("overlap").desc, col("prof_lang"))))
-      .filter(col("rk") === 1)
-      .select(col(idCol), col("prof_lang").as("pred_lang"))
-    df.select(col(idCol), col(langCol))
-      .join(best, Seq(idCol), "left")
+    // driver boundary is fine HERE: the profile is corpus-size-independent
+    // (a few hundred rows at most), exactly like collecting fitted model
+    // coefficients. The corpus itself is never collected.
+    val profArrays: Seq[(String, Seq[String])] = profile.collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rows) => l -> rows.map(_.getString(1)).toSeq }
+      .toSeq.sortBy(_._1)
+    if (profArrays.isEmpty)
+      return df.select(col(idCol), col(langCol),
+        lit(null).cast("string").as("pred_lang"),
+        lit(null).cast("boolean").as("correct"))
+    // per-lang overlap against the doc's distinct-trigram set, argmax with
+    // lang-code tie-break via sort on struct(-overlap, lang); zero overlap
+    // everywhere → null (matches the join-based formulation, where such
+    // docs simply had no candidate rows)
+    val distTris = array_distinct(tris)
+    val scored = sort_array(array(profArrays.map { case (l, ts) =>
+      struct(
+        (-size(array_intersect(distTris, array(ts.map(lit): _*)))).as("neg"),
+        lit(l).as("lang"))
+    }: _*))
+    val best = element_at(scored, 1)
+    val pred = when(length(col(textCol)) >= 3 && best.getField("neg") < 0,
+      best.getField("lang"))
+    df.select(col(idCol), col(langCol), pred.as("pred_lang"))
       .withColumn("correct", col(langCol) === col("pred_lang"))
   }
 

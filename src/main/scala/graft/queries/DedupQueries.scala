@@ -60,12 +60,12 @@ object DedupQueries {
   def q25NeardupLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.balanced(spark, dir, "documents")
-    // the signature subtree feeds banding + both sides of the estimate —
-    // materialize once (tiny: numHashes rows/doc) instead of recomputing
-    // the shingle scan three times
-    val sig = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 8).cache()
-    val pairs = Dedup.lshCandidatePairs(sig, "doc_id", bandRows = 2).cache()
-    Dedup.estimateJaccard(pairs, sig, "doc_id")
+    // wide signatures feed both join sides — materialize once (one row/doc)
+    // instead of recomputing the shingle scan per side; the estimate rides
+    // along in-row from the pair join (no signature re-join)
+    val sig = Dedup.minHashWide(docs, "doc_id", "text", 3, 8).cache()
+    val pairs = Dedup.lshCandidatePairs(sig, "doc_id", bandRows = 2)
+    pairs
       .join(Dedup.verifyPairs(pairs, docs, "doc_id", "text"),
         Seq("doc_a", "doc_b"))
       .orderBy($"doc_a", $"doc_b")
@@ -123,9 +123,8 @@ object DedupQueries {
   def q39NeardupGroups(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.balanced(spark, dir, "documents")
-    val sig = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 8).cache()
-    val cand = Dedup.lshCandidatePairs(sig, "doc_id", bandRows = 2)
-    val pairs = Dedup.estimateJaccard(cand, sig, "doc_id")
+    val sig = Dedup.minHashWide(docs, "doc_id", "text", 3, 8)
+    val pairs = Dedup.lshCandidatePairs(sig, "doc_id", bandRows = 2)
       .filter($"est_jaccard" >= 0.5)
       .select($"doc_a", $"doc_b")
     Dedup.connectedComponents(pairs)

@@ -29,17 +29,27 @@ class DedupSpec extends SparkSpec {
   }
 
   test("LSH emits the exact-dup pair; estimate and exact jaccard agree at 1.0") {
-    val sig = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 8)
+    val sig = Dedup.minHashWide(docs, "doc_id", "text", 3, 8)
     val pairs = Dedup.lshCandidatePairs(sig, "doc_id", 2)
     val got = pairs.collect.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.contains((0L, 1L)))
     assert(!got.exists { case (a, b) => b == 3L || a == 3L })
-    val est = Dedup.estimateJaccard(pairs, sig, "doc_id")
+    val est = pairs
       .filter($"doc_a" === 0 && $"doc_b" === 1).head.getDouble(2)
     assert(est == 1.0)
     val exact = Dedup.verifyPairs(pairs, docs, "doc_id", "text")
       .filter($"doc_a" === 0 && $"doc_b" === 1).head.getDouble(2)
     assert(exact == 1.0)
+  }
+
+  test("wide and row-grain minhash signatures agree") {
+    val wide = Dedup.minHashWide(docs, "doc_id", "text", 3, 8)
+      .collect.map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val narrow = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 8)
+      .collect.groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(1)).map(_.getString(2)).toSeq }
+    assert(wide.view.mapValues(_.toSeq).toMap == narrow)
   }
 
   test("simhash: 64 bits, equal for dups, close for near-dups, far for unrelated") {

@@ -66,10 +66,9 @@ class PropertySpec extends SparkSpec {
   }
 
   test("property: estimated and exact jaccard live in [0,1]") {
-    val sig = Dedup.minHashSignatures(df, "doc_id", "text", 3, 6).cache()
+    val sig = Dedup.minHashWide(df, "doc_id", "text", 3, 6).cache()
     val pairs = Dedup.lshCandidatePairs(sig, "doc_id", 2).cache()
-    val est = Dedup.estimateJaccard(pairs, sig, "doc_id")
-    assert(est.filter($"est_jaccard" < 0 || $"est_jaccard" > 1).count() == 0)
+    assert(pairs.filter($"est_jaccard" < 0 || $"est_jaccard" > 1).count() == 0)
     val ver = Dedup.verifyPairs(pairs, df, "doc_id", "text")
     assert(ver.filter($"jaccard" < 0 || $"jaccard" > 1).count() == 0)
   }
