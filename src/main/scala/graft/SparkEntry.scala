@@ -56,6 +56,8 @@ object SparkEntry {
     "q37_lemma_count"      -> (TextStatsQueries.q37LemmaCount _),
     "q38_embed_dedup"      -> (DedupQueries.q38EmbedDedup _),
     "q39_neardup_groups"   -> (DedupQueries.q39NeardupGroups _),
+    "q40_jaccard_blocked"  -> (DedupQueries.q40JaccardBlocked _),
+    "q41_ivf_topk"         -> (SimQueries.q41IvfTopk _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -101,5 +103,10 @@ object SparkEntry {
     "q37_lemma_count"      -> TextStatsQueries.q37Sql,
     "q38_embed_dedup"      -> DedupQueries.q38Sql,
     "q39_neardup_groups"   -> DedupQueries.q39Sql,
+    "q40_jaccard_blocked"  -> DedupQueries.q40Sql,
+    // q41_ivf_topk intentionally has NO oracle SQL: the seeded KMeans
+    // quantizer's float reductions are partitioning-sensitive, so no
+    // portable cross-engine oracle exists; the driver records the weaker
+    // rows-only check and SimilaritySpec asserts recall vs brute force.
   )
 }

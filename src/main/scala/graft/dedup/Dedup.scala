@@ -313,27 +313,29 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram (here: unigram set) Jaccard for candidate pairs restricted
-    * to a grouping key — the verification stage after LSH candidates, or a
-    * blocked all-pairs within small groups.
+  /** Exact token-set Jaccard for all pairs within a blocking key — the
+    * blocked all-pairs flavor of n-gram dedup (the blocking key bounds the
+    * quadratic term to Σ block², the standard way to make all-pairs
+    * tractable at corpus scale; pick keys so blocks stay small).
+    * Same set-intersect shape as [[verifyPairs]]: one token-set array per
+    * doc, a self-equi-join on the block key, in-row `array_intersect` —
+    * nothing at token grain ever shuffles.
     * Output: (doc_a, doc_b, jaccard) for same-group pairs sharing ≥1 token.
     */
   def jaccardWithinGroups(df: DataFrame, idCol: String, textCol: String,
                           groupCols: Seq[String]): DataFrame = {
-    val tok = df.select((col(idCol) +: groupCols.map(col)) :+
-        explode(array_distinct(Text.tokens(col(textCol)))).as("tok"): _*)
-    val sizes = tok.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val a = tok.select(groupCols.map(col) :+ col(idCol).as("doc_a") :+ col("tok"): _*)
-    val b = tok.select(groupCols.map(col) :+ col(idCol).as("doc_b") :+ col("tok"): _*)
-    val inter = a.join(b, groupCols :+ "tok")
+    val sets = df.select((col(idCol) +: groupCols.map(col)) :+
+      array_distinct(Text.tokens(col(textCol))).as("gset"): _*)
+    val a = sets.select(groupCols.map(col) :+
+      col(idCol).as("doc_a") :+ col("gset").as("ga"): _*)
+    val b = sets.select(groupCols.map(col) :+
+      col(idCol).as("doc_b") :+ col("gset").as("gb"): _*)
+    a.join(b, groupCols)
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        col("inter") / (col("na") + col("nb") - col("inter")))
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .filter(col("inter") > 0)
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") /
+          (size(col("ga")) + size(col("gb")) - col("inter"))).as("jaccard"))
   }
 }

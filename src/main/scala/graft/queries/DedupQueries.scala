@@ -288,6 +288,37 @@ object DedupQueries {
       |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM ham
       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q40: blocked all-pairs n-gram Jaccard — exact token-set similarity for
+    * every pair inside a (lang, source) block, the classic blocking-key
+    * answer to quadratic dedup (cost Σ block², never corpus²). Only pairs
+    * with jaccard ≥ 0.5 survive (the dedup decision threshold).
+    */
+  def q40JaccardBlocked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.jaccardWithinGroups(Tables.balanced(spark, dir, "documents"),
+        "doc_id", "text", Seq("lang", "source"))
+      .filter($"jaccard" >= 0.5)
+      .withColumn("jaccard", round($"jaccard", 6))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q40Sql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, lang, source, list_distinct($toksExpr) AS toks
+      |  FROM documents
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(len(list_intersect(a.toks, b.toks))
+      |        / (len(a.toks) + len(b.toks)
+      |           - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+      |FROM tok a JOIN tok b
+      |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.toks, b.toks)) > 0
+      |  AND len(list_intersect(a.toks, b.toks))
+      |      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+      |      >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val q26Sql: String =
     s"""WITH tok AS (
       |  SELECT doc_id, unnest(list_distinct($toksExpr)) AS tok

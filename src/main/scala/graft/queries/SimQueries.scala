@@ -61,6 +61,22 @@ object SimQueries {
       .orderBy($"query_id", $"rk")
   }
 
+  /** q41: IVF approximate top-5 for the same 10 query vectors — the
+    * 100 TB similarity path (coarse KMeans quantizer, nprobe-cell scan
+    * instead of full corpus). The KMeans fit is seeded but its float
+    * reductions are partitioning-sensitive, so there is no portable DuckDB
+    * oracle — the driver records the weaker rows/schema check, and
+    * SimilaritySpec asserts recall ≥ 0.6 against [[q28AnnTopk]]'s
+    * brute-force ranking.
+    */
+  def q41IvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.balanced(spark, dir, "embeddings")
+    Similarity.ivfTopK(emb.filter($"vec_id" < 10), emb,
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+      .orderBy($"query_id", $"rk")
+  }
+
   val q28Sql: String =
     """WITH dims AS (
       |  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS dim,
