@@ -26,14 +26,29 @@ abstract class FloatVecBinary extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<float> args, got " +
+      s"$prettyName requires array<float|double> args, got " +
         s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
   }
+
+  /** Element read as double, matching each side's array element type —
+    * mixed float/double pairs (e.g. float vectors vs a double centroid)
+    * stay in one codegen'd loop with no array-level cast.
+    */
+  protected final def elem(side: Expression, v: String, i: String): String =
+    side.dataType match {
+      case ArrayType(FloatType, _) => s"(double)$v.getFloat($i)"
+      case _                       => s"$v.getDouble($i)"
+    }
+  protected final def elemEval(side: Expression, x: ArrayData, i: Int): Double =
+    side.dataType match {
+      case ArrayType(FloatType, _) => x.getFloat(i).toDouble
+      case _                       => x.getDouble(i)
+    }
 
   /** Java statements: given array vars `a`,`b` and length var `n`,
     * accumulate into double var `acc` at index `i`.
@@ -71,9 +86,9 @@ abstract class FloatVecBinary extends BinaryExpression {
 case class FloatVecDot(left: Expression, right: Expression) extends FloatVecBinary {
   override def prettyName: String = "vec_dot"
   protected def combine(a: String, b: String, i: String): String =
-    s"(double)$a.getFloat($i) * (double)$b.getFloat($i)"
+    s"${elem(left, a, i)} * ${elem(right, b, i)}"
   protected def combineEval(x: ArrayData, y: ArrayData, i: Int): Double =
-    x.getFloat(i).toDouble * y.getFloat(i).toDouble
+    elemEval(left, x, i) * elemEval(right, y, i)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FloatVecDot =
     copy(left = newLeft, right = newRight)
@@ -83,9 +98,9 @@ case class FloatVecDot(left: Expression, right: Expression) extends FloatVecBina
 case class FloatVecSqDist(left: Expression, right: Expression) extends FloatVecBinary {
   override def prettyName: String = "vec_sqdist"
   protected def combine(a: String, b: String, i: String): String =
-    s"((double)$a.getFloat($i) - (double)$b.getFloat($i)) * ((double)$a.getFloat($i) - (double)$b.getFloat($i))"
+    s"(${elem(left, a, i)} - ${elem(right, b, i)}) * (${elem(left, a, i)} - ${elem(right, b, i)})"
   protected def combineEval(x: ArrayData, y: ArrayData, i: Int): Double = {
-    val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+    val d = elemEval(left, x, i) - elemEval(right, y, i)
     d * d
   }
   override protected def withNewChildrenInternal(

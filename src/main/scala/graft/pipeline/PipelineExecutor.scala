@@ -3,7 +3,6 @@ package graft.pipeline
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.clean.Cleaner
 import graft.ingest.{Content, ContentFetcher, FixtureFetcher, LinkExtractor, LinkSource}
 
@@ -51,12 +50,13 @@ final class PipelineExecutor(
     val content = Content.fetch(links, fetcher)
 
     // 5: inner merge (J1, failed fetches drop out), article id BEFORE
-    // explode (P13: row_number over the stable link key, not
+    // explode (P13: dense 0..n-1 over the stable link key — computed
+    // distributed via range-partition + partition-offset prefix sums, not
+    // a single-partition global window and not
     // monotonically_increasing_id), explode to paragraph grain (F22)
     val merged = broadcast(links)
       .join(content, links("se_link") === content("bs_link"), "inner")
-    val withIdx = merged.withColumn("article_index",
-      (row_number().over(Window.orderBy(col("se_link"))) - 1).cast("long"))
+    val withIdx = graft.util.Ids.denseIndex(merged, "article_index", "se_link")
     val raw = withIdx
       .withColumn("paragraph", explode(col("bs_paragraph")))
       .drop("n3k_published")

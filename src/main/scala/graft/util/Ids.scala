@@ -1,0 +1,48 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.LongType
+
+/** Deterministic dense row ids (SURVEY.md P13) without a global window.
+  *
+  * `row_number().over(Window.orderBy(key))` is the obvious translation of
+  * pandas' `reset_index`, but it funnels EVERY row through one partition
+  * (WindowExec's "No Partition Defined" path) — fine for a bounded link
+  * table, fatal for a corpus. This helper produces the same 0..n-1
+  * numbering fully distributed:
+  *
+  *  1. range-repartition + sort within partitions by the key (total order
+  *     across partitions, each partition sorted — no single-point sort);
+  *  2. one lightweight count-per-partition job;
+  *  3. map each partition with its exclusive-prefix-sum offset.
+  *
+  * Determinism requires the key to be unique (range boundaries are sampled,
+  * so ties may land in either of two adjacent partitions; with unique keys
+  * the final numbering is order-isomorphic to the key and thus unique and
+  * stable across runs/cluster sizes — the property the oracle compare
+  * needs).
+  */
+object Ids {
+
+  def denseIndex(df: DataFrame, outCol: String, keyCols: String*): DataFrame = {
+    val spark = df.sparkSession
+    val keys = keyCols.map(col)
+    val sorted = df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+    val rdd = sorted.rdd
+    rdd.cache()
+    val counts = rdd
+      .mapPartitionsWithIndex { case (pid, it) => Iterator(pid -> it.size.toLong) }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val withId = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var i = bc.value(pid)
+      it.map { row => val r = Row.fromSeq(row.toSeq :+ i); i += 1; r }
+    }
+    // the cached sorted RDD serves both the counts job and the caller's
+    // materialization; LRU eviction reclaims it afterwards (block-level,
+    // recompute is deterministic: range sampling is seeded per partition)
+    spark.createDataFrame(withId, sorted.schema.add(outCol, LongType))
+  }
+}

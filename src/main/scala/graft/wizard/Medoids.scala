@@ -22,17 +22,22 @@ object Medoids {
 
   /** n rows closest to their cluster's centroid.
     * Returns (idCol, clusterCol, rank) — rank 1..n.
+    *
+    * Centroids come from the [[graft.functions.VecAgg.vecAvg]] typed
+    * aggregator — one partial-agg shuffle of (Σ, n) buffers at cluster
+    * grain — and broadcast back (clusters are a tiny dimension), so the
+    * corpus shuffles exactly once (the rank window). The relational
+    * alternative posexplodes dims and moves dims× the data through three
+    * dim-grain exchanges for the same answer.
     */
   def byCentroid(df: DataFrame, idCol: String, clusterCol: String,
                  vecCol: String, n: Int): DataFrame = {
-    val dims = df.select(col(idCol), col(clusterCol),
-      posexplode(col(vecCol)).as(Seq("dim", "v")))
-      .withColumn("v", col("v").cast("double"))
-    val centroids = dims.groupBy(col(clusterCol), col("dim"))
-      .agg(avg(col("v")).as("c"))
-    val sq = dims.join(centroids, Seq(clusterCol, "dim"))
-      .groupBy(col(idCol), col(clusterCol))
-      .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("sqdist"))
+    val centroids = df.groupBy(col(clusterCol))
+      .agg(graft.functions.VecAgg.vecAvg(col(vecCol).cast("array<double>"))
+        .as("centroid"))
+    val sq = df.join(broadcast(centroids), Seq(clusterCol))
+      .select(col(idCol), col(clusterCol),
+        graft.functions.VecExprs.sqDist(col(vecCol), col("centroid")).as("sqdist"))
     val w = Window.partitionBy(col(clusterCol))
       .orderBy(col("sqdist"), col(idCol))
     sq.withColumn("medoid_rank", row_number().over(w))
