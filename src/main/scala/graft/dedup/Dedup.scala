@@ -84,12 +84,22 @@ object Dedup {
       col("band"), col("bsig"))
     val b = banded.select(col(idCol).as("doc_b"), col("sig").as("sig_b"),
       col("band"), col("bsig"))
+    // emit-once: a pair agreeing in several bands would duplicate; instead
+    // of a pair-grain DISTINCT shuffle (pre-distinct volume can dwarf the
+    // result at scale), keep the pair only where this is the FIRST
+    // agreeing band — an in-row check against the carried signatures.
+    // NB sequence(0, band-1) at band=0 is DESCENDING [0,-1], not empty —
+    // the band-0 case must short-circuit before the range is built
+    val firstBand = col("band") === 0 ||
+      forall(sequence(lit(0), col("band") - 1),
+        bb => exists(sequence(bb * bandRows, (bb + 1) * bandRows - 1),
+          s => element_at(col("sig_a"), s + 1) =!= element_at(col("sig_b"), s + 1)))
     a.join(b, Seq("band", "bsig"))
       .filter(col("doc_a") < col("doc_b"))
+      .filter(firstBand)
       .select(col("doc_a"), col("doc_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _),
           x => x)) / size(col("sig_a")).cast("double")).as("est_jaccard"))
-      .distinct()
   }
 
   /** SimHash: 64-bit signature from the doc's distinct tokens. Bit b of
@@ -302,16 +312,23 @@ object Dedup {
       col("band"), col("slice"))
     val b = banded.select(col(idCol).as("doc_b"), col("simhash").as("shb"),
       col("band"), col("slice"))
+    // emit-once (same trick as lshCandidatePairs): keep the pair only in
+    // the FIRST band whose slices agree — in-row substring compares
+    // replace a pair-grain DISTINCT shuffle
     a.join(b, Seq("band", "slice"))
       .filter(col("doc_a") < col("doc_b"))
+      .filter(col("band") === 0 || // sequence(0,-1) would be [0,-1], not empty
+        forall(sequence(lit(0), col("band") - 1), bb =>
+          substring_band(col("sha"), bb, chunkLen) =!=
+            substring_band(col("shb"), bb, chunkLen)))
       .select(col("doc_a"), col("doc_b"),
         graft.functions.VecExprs.hamming(col("sha"), col("shb")).as("hamming"))
-      // threshold BEFORE the pair-grain distinct: hamming is in-row and
-      // functionally dependent on the pair, so filtering first shrinks the
-      // distinct's shuffle to the matching pairs only
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
+
+  /** substring of a banded signature: chars [band·len, (band+1)·len). */
+  private def substring_band(sig: Column, band: Column, len: Int): Column =
+    sig.substr(band * len + 1, lit(len))
 
   /** Exact token-set Jaccard for all pairs within a blocking key — the
     * blocked all-pairs flavor of n-gram dedup (the blocking key bounds the
