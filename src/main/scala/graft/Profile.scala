@@ -66,6 +66,27 @@ object Profile {
     t("q36 full") { graft.queries.DedupQueries.q36SimhashNeardup(spark, sfDir).count() }
     spark.catalog.clearCache()
     t("q20 full") { graft.queries.NlpQueries.q20MedoidsPairwise(spark, sfDir).count() }
+
+    // ---- plan audit: greppable assertions on the physical plans --------
+    def audit(name: String, df: org.apache.spark.sql.DataFrame,
+              wants: Seq[String]): Unit = {
+      df.collect() // finalize THIS df's AQE plan (count() would execute a
+                   // derived plan and leave this one isFinalPlan=false)
+      val plan = df.queryExecution.executedPlan.toString
+      wants.foreach { w =>
+        val ok = if (plan.contains(w)) "OK " else "MISS"
+        println(s"[audit] $ok $name: $w")
+      }
+    }
+    // "*(n)" is the WholeStageCodegen stage marker in plan toString
+    audit("q3 pushdown", graft.queries.Relational.q3FilterRevenue(spark, sfDir),
+      Seq("PushedFilters: [IsNotNull(l_shipdate)", "*(1)"))
+    audit("q2 broadcast dims", graft.queries.Relational.q2JoinRevenue(spark, sfDir),
+      Seq("BroadcastHashJoin", "*(1)"))
+    audit("q19 broadcast centroids", graft.queries.NlpQueries.q19Medoids(spark, sfDir),
+      Seq("BroadcastHashJoin", "ObjectHashAggregate"))
+    audit("q12 column pruning", graft.queries.Relational.q12Md5(spark, sfDir),
+      Seq("ReadSchema: struct<doc_id:bigint,text:string>"))
     spark.stop()
   }
 }
