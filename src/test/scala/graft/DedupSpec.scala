@@ -42,6 +42,18 @@ class DedupSpec extends SparkSpec {
     assert(exact == 1.0)
   }
 
+  test("emit-once: exact dups agree in all bands but the pair appears once") {
+    // docs 0/1 share the full signature → every band matches; without the
+    // first-band filter the join would emit the pair once per band
+    val sig = Dedup.minHashWide(docs, "doc_id", "text", 3, 8)
+    val rows = Dedup.lshCandidatePairs(sig, "doc_id", 2)
+      .filter($"doc_a" === 0 && $"doc_b" === 1).collect()
+    assert(rows.length == 1)
+    val sh = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 3)
+      .filter($"doc_a" === 0 && $"doc_b" === 1).collect()
+    assert(sh.length == 1)
+  }
+
   test("wide and row-grain minhash signatures agree") {
     val wide = Dedup.minHashWide(docs, "doc_id", "text", 3, 8)
       .collect.map(r => r.getLong(0) -> r.getSeq[String](1)).toMap

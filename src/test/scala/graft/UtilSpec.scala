@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.util.Ids
+import graft.functions.VecAgg
+
+class UtilSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("denseIndex assigns 0..n-1 in key order, distributed") {
+    val df = Seq("delta", "alpha", "echo", "bravo", "charlie")
+      .toDF("k").repartition(4)
+    val got = Ids.denseIndex(df, "idx", "k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("alpha" -> 0L, "bravo" -> 1L, "charlie" -> 2L,
+      "delta" -> 3L, "echo" -> 4L))
+  }
+
+  test("denseIndex is stable across input partitioning") {
+    val rows = (0 until 500).map(i => f"key_$i%04d")
+    val a = Ids.denseIndex(rows.toDF("k").repartition(7), "idx", "k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Ids.denseIndex(rows.toDF("k").repartition(13), "idx", "k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a.values.toSeq.sorted == (0L until 500L))
+  }
+
+  test("vecAvg computes the element-wise mean per group") {
+    val df = Seq(
+      ("a", Seq(1.0, 2.0)), ("a", Seq(3.0, 6.0)), ("b", Seq(10.0, 20.0))
+    ).toDF("g", "v")
+    val got = df.groupBy($"g").agg(VecAgg.vecAvg($"v").as("c"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got("a") == Seq(2.0, 4.0))
+    assert(got("b") == Seq(10.0, 20.0))
+  }
+
+  test("vecAvg ignores null vectors; all-null group yields null") {
+    val df = Seq(
+      ("a", Option(Seq(2.0, 4.0))), ("a", None), ("b", None)
+    ).toDF("g", "v")
+    val got = df.groupBy($"g").agg(VecAgg.vecAvg($"v").as("c"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got("a").map(_.asInstanceOf[scala.collection.Seq[Double]].toSeq)
+      .contains(Seq(2.0, 4.0)))
+    assert(got("b").isEmpty)
+  }
+}
