@@ -87,6 +87,45 @@ object Streams {
       }
   }
 
+  final case class ClosedSession(user_id: Long, n_events: Long,
+                                 sum_value: Double, last_ts: Long)
+
+  /** Session-close emission via flatMapGroupsWithState: a batch of events
+    * for a user may close zero, one, or many sessions (every gap ≥ `gapMs`
+    * between consecutive events ends one) — the 0..n-outputs-per-key shape
+    * that mapGroups cannot express. Emits ONLY closed sessions (Append
+    * mode); the open tail stays in state for the next micro-batch. Gap
+    * detection is event-time against the stored last timestamp, so the
+    * operator is deterministic under processAllAvailable (no clock
+    * timeouts).
+    */
+  def emitClosedSessions(events: Dataset[Event],
+                         gapMs: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          val closed = Seq.newBuilder[ClosedSession]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.ts.getTime - s.lastTs >= gapMs =>
+                closed += ClosedSession(userId, s.nEvents, s.sumValue, s.lastTs)
+                cur = Some(SessionState(1L, e.value, e.ts.getTime))
+              case Some(s) =>
+                cur = Some(SessionState(s.nEvents + 1, s.sumValue + e.value,
+                  math.max(s.lastTs, e.ts.getTime)))
+              case None =>
+                cur = Some(SessionState(1L, e.value, e.ts.getTime))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
   /** Page-hash quiescence detection (the reference's md5-page stop,
     * link_extractor.py:317-324, as a streaming filter): drop micro-batch
     * rows whose page content hash repeats the previous page's — state

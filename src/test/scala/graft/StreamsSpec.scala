@@ -71,6 +71,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("emitClosedSessions closes a session per gap, keeps the tail open") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Streams.Event]
+    val q = Streams.emitClosedSessions(in.toDS, gapMs = 60000L)
+      .writeStream.format("memory").queryName("closed")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events, then a >1min gap, then one event → 1st session
+      // closes (2 events); the post-gap event stays open in state
+      in.addData(Streams.Event(ts(1), 1L, "click", 1.0),
+        Streams.Event(ts(2), 1L, "click", 2.0),
+        Streams.Event(ts(120), 1L, "view", 4.0))
+      q.processAllAvailable()
+      val afterGap = spark.table("closed").as[Streams.ClosedSession].collect()
+      assert(afterGap.toSeq == Seq(Streams.ClosedSession(1L, 2L, 3.0, 2000L)))
+      // a second gap in a later micro-batch closes the open tail
+      in.addData(Streams.Event(ts(600), 1L, "click", 8.0))
+      q.processAllAvailable()
+      val all = spark.table("closed").as[Streams.ClosedSession].collect().toSet
+      assert(all.contains(Streams.ClosedSession(1L, 1L, 4.0, 120000L)))
+    } finally q.stop()
+  }
+
   test("batch-over-stream: foreachBatch reuses the batch cleaner verbatim") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, String)]
