@@ -32,10 +32,19 @@ object Sentiment {
     when(pos > neg, 2).when(pos < neg, 0).otherwise(1)
   }
 
-  /** distinct → score → broadcast-join back on the text value. */
+  /** distinct → score → join back. The join key is md5(text), not the
+    * text itself: the scored dimension then carries 16-byte keys + a class
+    * int instead of full documents, and the corpus-side shuffle (when the
+    * dimension outgrows a broadcast) compares fixed-width hashes rather
+    * than multi-KB strings. Same value-join semantics (md5 collisions at
+    * 2⁻¹²⁸ are far below any float-noise tolerance elsewhere).
+    */
   def score(df: DataFrame, textCol: String, outCol: String): DataFrame = {
     val scored = df.select(col(textCol)).distinct()
-      .withColumn(outCol, lexiconClass(Text.tokens(col(textCol))))
-    df.join(scored, Seq(textCol), "left")
+      .select(md5(col(textCol)).as("__text_md5"),
+        lexiconClass(Text.tokens(col(textCol))).as(outCol))
+    df.withColumn("__text_md5", md5(col(textCol)))
+      .join(scored, Seq("__text_md5"), "left")
+      .drop("__text_md5")
   }
 }
