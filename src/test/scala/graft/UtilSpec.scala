@@ -26,6 +26,19 @@ class UtilSpec extends SparkSpec {
     assert(a.values.toSeq.sorted == (0L until 500L))
   }
 
+  test("saltedJoin equals the plain join on skewed keys") {
+    // 900 of 1000 rows share one hot key
+    val big = (0 until 1000)
+      .map(i => (if (i < 900) "hot" else s"k$i", i.toLong)).toDF("k", "id")
+    val small = Seq(("hot", 1.0), ("k950", 2.0), ("absent", 3.0)).toDF("k", "w")
+    val plain = big.join(small, Seq("k"), "inner")
+      .select($"k", $"id", $"w").collect().map(_.toSeq).toSet
+    val salted = Ids.saltedJoin(big, small, "k", "id", salts = 8)
+      .select($"k", $"id", $"w").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(salted.size == 901)
+  }
+
   test("vecAvg computes the element-wise mean per group") {
     val df = Seq(
       ("a", Seq(1.0, 2.0)), ("a", Seq(3.0, 6.0)), ("b", Seq(10.0, 20.0))
