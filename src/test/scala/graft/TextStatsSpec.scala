@@ -43,6 +43,22 @@ class TextStatsSpec extends SparkSpec {
     assert(ids == Set(1L))
   }
 
+  test("langIdByTrigram: short docs get null prediction; empty profile corpus safe") {
+    // doc 2 is under 3 chars → no trigrams → excluded from profile AND
+    // classified null ('und' at the query layer)
+    val df = Seq((1L, "aaa bbb aaa bbb", "aa"), (2L, "x", "aa"))
+      .toDF("id", "text", "lang")
+    val got = TextStats.langIdByTrigram(df, "id", "text", "lang", 5)
+      .collect.map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(got(1L).contains("aa"))
+    assert(got(2L).isEmpty)
+    // all-short corpus → empty profile → all predictions null, no crash
+    val empty = Seq((1L, "x", "aa"), (2L, "yz", "bb")).toDF("id", "text", "lang")
+    val got2 = TextStats.langIdByTrigram(empty, "id", "text", "lang", 5)
+    assert(got2.count() == 2)
+    assert(got2.filter($"pred_lang".isNotNull).count() == 0)
+  }
+
   test("langIdByTrigram recovers the language on separable corpora") {
     // two 'languages' with disjoint character distributions
     val aa = (1 to 8).map(i => (i.toLong, "aaa bbb aab abb baa " + "ab" * i, "aa"))
