@@ -123,7 +123,10 @@ object DedupQueries {
   def q39NeardupGroups(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.balanced(spark, dir, "documents")
-    val sig = Dedup.minHashWide(docs, "doc_id", "text", 3, 8)
+    // cache: the band self-join consumes the signature subtree on BOTH
+    // sides with different aliases, which defeats exchange reuse — without
+    // this the shingle scan + minhash agg runs twice
+    val sig = Dedup.minHashWide(docs, "doc_id", "text", 3, 8).cache()
     val pairs = Dedup.lshCandidatePairs(sig, "doc_id", bandRows = 2)
       .filter($"est_jaccard" >= 0.5)
       .select($"doc_a", $"doc_b")

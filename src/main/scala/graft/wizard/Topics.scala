@@ -20,19 +20,25 @@ import org.apache.spark.sql.expressions.Window
   */
 object Topics {
 
-  /** Per-cluster term counts with tf·idf scores at (cluster, term) grain. */
+  /** Per-cluster term counts with tf·idf scores at (cluster, term) grain.
+    * Totals come from two window sums OVER the (cluster, term) count frame
+    * — the expensive corpus-grain explode+aggregate runs ONCE; the naive
+    * formulation (separate groupBys for cluster totals and term totals,
+    * joined back) re-evaluates that subtree three times, since Catalyst
+    * does not reuse common subplans across joins. Counts are integers, so
+    * the window sums are exact and order-independent — no float-parity
+    * risk. Both windows shuffle only |vocabulary|-grain rows.
+    */
   def cTfIdf(df: DataFrame, clusterCol: String, termCol: Column): DataFrame = {
     val tok = df.select(col(clusterCol), explode(termCol).as("term"))
       .filter(col("term") =!= "")
     val t = tok.groupBy(col(clusterCol), col("term"))
       .agg(count(lit(1)).as("cnt"))
-    val clusterTotals = t.groupBy(col(clusterCol))
-      .agg(sum($("cnt")).as("cluster_total"))
-    val termTotals = t.groupBy($("term"))
-      .agg(sum($("cnt")).as("term_total"))
     val m = df.agg(count(lit(1)).as("m"))
-    t.join(clusterTotals, clusterCol)
-      .join(termTotals, "term")
+    t.withColumn("cluster_total",
+        sum($("cnt")).over(Window.partitionBy(col(clusterCol))))
+      .withColumn("term_total",
+        sum($("cnt")).over(Window.partitionBy($("term"))))
       .crossJoin(broadcast(m))
       .withColumn("score",
         ($("cnt") / $("cluster_total")) * log($("m") / $("term_total")))
