@@ -64,7 +64,9 @@ object DedupQueries {
     // instead of recomputing the shingle scan per side; the estimate rides
     // along in-row from the pair join (no signature re-join)
     val sig = Dedup.minHashWide(docs, "doc_id", "text", 3, 8).cache()
-    val pairs = Dedup.lshCandidatePairs(sig, "doc_id", bandRows = 2)
+    // pairs feed two consumers (the estimate output and the verify join)
+    // — cache the tiny pair frame so the band self-join runs once
+    val pairs = Dedup.lshCandidatePairs(sig, "doc_id", bandRows = 2).cache()
     pairs
       .join(Dedup.verifyPairs(pairs, docs, "doc_id", "text"),
         Seq("doc_a", "doc_b"))
@@ -189,6 +191,7 @@ object DedupQueries {
       .bucketedPairs(joined, "doc_id", "embedding", bits = 8)
       .filter($"cosine" >= 0.15)
       .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"), $"cosine")
+      .cache() // two consumers: output join + verifyPairs input
     pairs
       .join(Dedup.verifyPairs(pairs, docs, "doc_id", "text"),
         Seq("doc_a", "doc_b"))
