@@ -58,6 +58,8 @@ object SparkEntry {
     "q39_neardup_groups"   -> (DedupQueries.q39NeardupGroups _),
     "q40_jaccard_blocked"  -> (DedupQueries.q40JaccardBlocked _),
     "q41_ivf_topk"         -> (SimQueries.q41IvfTopk _),
+    "q42_hash_split"       -> (SamplingQueries.q42HashSplit _),
+    "q43_stratified_sample"-> (SamplingQueries.q43StratifiedSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -108,5 +110,7 @@ object SparkEntry {
     // quantizer's float reductions are partitioning-sensitive, so no
     // portable cross-engine oracle exists; the driver records the weaker
     // rows-only check and SimilaritySpec asserts recall vs brute force.
+    "q42_hash_split"       -> SamplingQueries.q42Sql,
+    "q43_stratified_sample"-> SamplingQueries.q43Sql,
   )
 }
