@@ -73,6 +73,42 @@ class PropertySpec extends SparkSpec {
     assert(ver.filter($"jaccard" < 0 || $"jaccard" > 1).count() == 0)
   }
 
+  test("property: connectedComponents matches a reference union-find on random graphs") {
+    // 150 random edges over 60 nodes (fixed seed): mixed chains, cliques,
+    // singletons-by-absence — checked against an in-memory reference for
+    // BOTH physical paths (single-task union-find and iterative label
+    // propagation)
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 59L)
+      b0 <- Gen.chooseNum(0L, 58L)
+    } yield { // shift avoids a==b without a filter (filters can exhaust Gen)
+      val b = if (b0 >= a) b0 + 1 else b0
+      (math.min(a, b), math.max(a, b))
+    }
+    val edges = Gen.listOfN(150, edgeGen)
+      .apply(Gen.Parameters.default, rng.Seed(7L)).get.distinct
+    val expected: Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val pairsDf = edges.toDF("doc_a", "doc_b")
+    val local = Dedup.connectedComponents(pairsDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(pairsDf, localEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == expected)
+    assert(dist == expected)
+  }
+
   test("property: topTerms emits at most n per cluster with rk 1..n dense") {
     val clustered = df.withColumn("cl", ($"doc_id" % 5).cast("int"))
     val top = Topics.topTerms(clustered, "cl", Text.tokens($"text"), 7).cache()
