@@ -60,6 +60,7 @@ object SparkEntry {
     "q41_ivf_topk"         -> (SimQueries.q41IvfTopk _),
     "q42_hash_split"       -> (SamplingQueries.q42HashSplit _),
     "q43_stratified_sample"-> (SamplingQueries.q43StratifiedSample _),
+    "q44_pack_sequences"   -> (SamplingQueries.q44PackSequences _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -112,5 +113,6 @@ object SparkEntry {
     // rows-only check and SimilaritySpec asserts recall vs brute force.
     "q42_hash_split"       -> SamplingQueries.q42Sql,
     "q43_stratified_sample"-> SamplingQueries.q43Sql,
+    "q44_pack_sequences"   -> SamplingQueries.q44Sql,
   )
 }

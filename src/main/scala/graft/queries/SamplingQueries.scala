@@ -56,4 +56,39 @@ object SamplingQueries {
       |  THEN md5(CAST(doc_id AS VARCHAR)) < '$t20'
       |  ELSE md5(CAST(doc_id AS VARCHAR)) < '$t50' END
       |ORDER BY doc_id""".stripMargin
+
+  /** q44: sequence packing — assign documents in doc_id order to fixed
+    * token-budget training sequences (bin = start-offset ÷ seqLen over the
+    * running token count) and report per-bin stats. The running count is
+    * [[graft.util.Ids.prefixSum]] — a distributed two-phase scan — where
+    * the oracle (single-node anyway) uses a plain cumulative window; the
+    * naive Spark translation of that window would move the corpus to one
+    * partition. Integer math throughout → exact parity.
+    */
+  def q44PackSequences(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seqLen = 2048L
+    val toks = Tables(spark, dir, "documents")
+      .select($"doc_id",
+        regexp_count($"text", lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+          .cast("long").as("nt"))
+    graft.util.Ids.prefixSum(toks, "cum", "nt", "doc_id")
+      .withColumn("bin", (($"cum" - $"nt") / seqLen).cast("long"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("sum_tokens"))
+      .orderBy($"bin")
+  }
+
+  val q44Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS nt
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, nt,
+      |    SUM(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t)
+      |SELECT CAST((cum - nt) // 2048 AS BIGINT) AS bin,
+      |  COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS sum_tokens
+      |FROM c GROUP BY 1 ORDER BY bin""".stripMargin
 }

@@ -45,24 +45,47 @@ object Ids {
     b.join(s, Seq(key, "__salt"), "inner").drop("__salt")
   }
 
-  def denseIndex(df: DataFrame, outCol: String, keyCols: String*): DataFrame = {
+  def denseIndex(df: DataFrame, outCol: String, keyCols: String*): DataFrame =
+    // the inclusive scan of the constant 1 is 1-based rank; shift to 0..n-1
+    scanOrdered(df, outCol, _ => 1L, keyCols)
+      .withColumn(outCol, col(outCol) - 1)
+
+  /** Distributed inclusive prefix sum of `valueOf(row)` in `keyCols` order
+    * — the scalable replacement for `sum(...).over(Window.orderBy(key))`,
+    * which funnels the whole table through ONE partition. Same two-phase
+    * shape as [[denseIndex]] (which is the prefix sum of the constant 1):
+    * range-partition + sort, one per-partition-totals job, then a mapped
+    * pass adding each partition's exclusive offset. Integer math → exact
+    * and order-independent across any partitioning.
+    */
+  def prefixSum(df: DataFrame, outCol: String, valueCol: String,
+                keyCols: String*): DataFrame = {
+    val idx = df.schema.fieldIndex(valueCol)
+    scanOrdered(df, outCol, _.getLong(idx), keyCols)
+  }
+
+  private def scanOrdered(df: DataFrame, outCol: String,
+                          valueOf: Row => Long,
+                          keyCols: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     val keys = keyCols.map(col)
     val sorted = df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
     val rdd = sorted.rdd
     rdd.cache()
-    val counts = rdd
-      .mapPartitionsWithIndex { case (pid, it) => Iterator(pid -> it.size.toLong) }
+    val totals = rdd
+      .mapPartitionsWithIndex { case (pid, it) =>
+        Iterator(pid -> it.map(valueOf).sum)
+      }
       .collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _)
+    val offsets = totals.scanLeft(0L)(_ + _)
     val bc = spark.sparkContext.broadcast(offsets)
-    val withId = rdd.mapPartitionsWithIndex { case (pid, it) =>
-      var i = bc.value(pid)
-      it.map { row => val r = Row.fromSeq(row.toSeq :+ i); i += 1; r }
+    val withSum = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var acc = bc.value(pid)
+      it.map { row => acc += valueOf(row); Row.fromSeq(row.toSeq :+ acc) }
     }
-    // the cached sorted RDD serves both the counts job and the caller's
+    // the cached sorted RDD serves both the totals job and the caller's
     // materialization; LRU eviction reclaims it afterwards (block-level,
     // recompute is deterministic: range sampling is seeded per partition)
-    spark.createDataFrame(withId, sorted.schema.add(outCol, LongType))
+    spark.createDataFrame(withSum, sorted.schema.add(outCol, LongType))
   }
 }

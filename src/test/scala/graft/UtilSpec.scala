@@ -39,6 +39,18 @@ class UtilSpec extends SparkSpec {
     assert(salted.size == 901)
   }
 
+  test("prefixSum equals the single-partition window cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (0 until 300).map(i => ((i * 7 % 300).toLong, (i % 13 + 1).toLong))
+      .toDF("k", "v").repartition(5)
+    val got = Ids.prefixSum(df, "cum", "v", "k")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val want = df.withColumn("cum",
+        sum($"v").over(Window.orderBy($"k").rowsBetween(Window.unboundedPreceding, 0)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
+
   test("vecAvg computes the element-wise mean per group") {
     val df = Seq(
       ("a", Seq(1.0, 2.0)), ("a", Seq(3.0, 6.0)), ("b", Seq(10.0, 20.0))
