@@ -67,6 +67,26 @@ object Profile {
     spark.catalog.clearCache()
     t("q20 full") { graft.queries.NlpQueries.q20MedoidsPairwise(spark, sfDir).count() }
 
+    // ---- wizard chain e2e: every stage over the real documents table ---
+    t("wizard full chain (sf docs)") {
+      import graft.wizard.WordWizard
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text").as("paragraph"),
+          substring(col("text"), 1, 40).as("title"))
+      val w = WordWizard(docs, interest = "paragraph")
+        .createSentenceEmbeddings()
+        .clusterEmbeddings(k = Some(5))
+        .entityRecognition()
+        .summarizeMedoids()
+        .findSentiment()
+        .topicModelling()
+        .reduceDimensionality()
+      val n = w.df.count()
+      w.df.unpersist()
+      n
+    }
+    spark.catalog.clearCache()
+
     // ---- plan audit: greppable assertions on the physical plans --------
     def audit(name: String, df: org.apache.spark.sql.DataFrame,
               wants: Seq[String]): Unit = {
