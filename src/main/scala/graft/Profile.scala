@@ -67,6 +67,24 @@ object Profile {
     spark.catalog.clearCache()
     t("q20 full") { graft.queries.NlpQueries.q20MedoidsPairwise(spark, sfDir).count() }
 
+    // ---- codegen'd vec exprs vs interpreted HOF forms (same math) ------
+    {
+      import graft.functions.{VectorOps, VecExprs}
+      val emb = Tables(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding")).cache()
+      emb.count()
+      val pairs = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+        .crossJoin(emb.select(col("vec_id").as("b"), col("embedding").as("vb")))
+      def run(label: String, dot: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): Unit =
+        t(label) {
+          pairs.select(sum(dot(col("va"), col("vb"))).as("s")).head; pairs.count()
+        }
+      run("vec_dot codegen (n^2 pairs)", VecExprs.dot)
+      run("vec_dot HOF interpreted     ", VectorOps.dotHof)
+      emb.unpersist()
+    }
+    spark.catalog.clearCache()
+
     // ---- wizard chain e2e: every stage over the real documents table ---
     t("wizard full chain (sf docs)") {
       import graft.wizard.WordWizard
