@@ -28,8 +28,10 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** MinHash signatures: for each of `numHashes` seeded hash functions,
-    * h_i(doc) = min over shingles of md5("i|" + shingle) (lexicographic min
-    * of the hex digest — a valid min-wise family, portable across engines).
+    * h_i(doc) = min over shingles of word i%4 of md5("⌊i/4⌋|" + shingle) —
+    * an 8-hex-char (32-bit) slice of the digest. Lexicographic min of the
+    * fixed-width hex word equals numeric min of its value, so this is a
+    * valid min-wise family, portable across engines.
     * Output grain: (id, seed, minhash).
     *
     * Plan shape: ONE shuffle at (id) grain with `numHashes` partial-agg min
@@ -58,10 +60,27 @@ object Dedup {
     // (slice(toks,...) evaluates its input per transform element)
     val sh = df.select(col(idCol), Text.tokens(col(textCol)).as("toks"))
       .select(col(idCol), explode(Text.ngrams(col("toks"), shingleSize)).as("sh"))
-    val aggs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"h$i"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.drop(1): _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    // One digest yields four independent 32-bit words, so numHashes hash
+    // functions cost ⌈numHashes/4⌉ md5 calls per shingle, not numHashes.
+    // The words aggregate as LONGs: min(string) has no mutable agg buffer
+    // and forces sort-based aggregation, while the long form runs as a
+    // map-side partial-min HashAggregate (the r3 q24 fix: 8 md5/shingle +
+    // SortAggregate → 2 md5/shingle + HashAggregate). Fixed-width hex
+    // re-encoding after the agg restores the engine-portable string form —
+    // lexicographic min over 8-hex words == numeric min over their values,
+    // so the DuckDB oracle computes the identical signature from substrings.
+    val nDigests = (numHashes + 3) / 4
+    val digests = (0 until nDigests).map(j =>
+      md5(concat(lit(s"$j|"), col("sh"))).as(s"d$j"))
+    val words = (0 until numHashes).map(i =>
+      conv(substring(col(s"d${i / 4}"), (i % 4) * 8 + 1, 8), 16, 10)
+        .cast("long").as(s"h$i"))
+    val proj = sh.select(col(idCol) +: digests: _*)
+      .select(col(idCol) +: words: _*)
+    val aggs = (0 until numHashes).map(i => min(col(s"h$i")).as(s"h$i"))
+    proj.groupBy(col(idCol)).agg(aggs.head, aggs.drop(1): _*)
+      .select(col(idCol), array((0 until numHashes).map(i =>
+        lower(lpad(hex(col(s"h$i")), 8, "0"))): _*).as("sig"))
   }
 
   /** LSH banding over wide minhash signatures: seeds are grouped into bands
@@ -75,9 +94,14 @@ object Dedup {
     */
   def lshCandidatePairs(wide: DataFrame, idCol: String,
                         bandRows: Int = 2): DataFrame = {
+    require(bandRows >= 1, s"bandRows=$bandRows must be >= 1")
     val nBands = (size(col("sig")) / bandRows).cast("int") // sig length is uniform
+    // nBands=0 (sig shorter than one band) must emit NO bands — the naked
+    // sequence(0, -1) is DESCENDING [0,-1] and would fabricate a band=-1
+    // row with garbage slice offsets (ADVICE r03)
     val banded = wide.select(col(idCol), col("sig"),
-        explode(sequence(lit(0), nBands - 1)).as("band"))
+        explode(when(nBands >= 1, sequence(lit(0), nBands - 1))
+          .otherwise(array().cast("array<int>"))).as("band"))
       .withColumn("bsig",
         array_join(slice(col("sig"), col("band") * bandRows + 1, lit(bandRows)), ""))
     val a = banded.select(col(idCol).as("doc_a"), col("sig").as("sig_a"),

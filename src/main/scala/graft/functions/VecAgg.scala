@@ -27,9 +27,13 @@ object VecAgg {
       if (a == null) b
       else {
         val s = if (b._1.isEmpty) new Array[Double](a.length) else b._1
+        // ragged input is a data bug — truncating to min(length) would
+        // silently drop trailing dims while still counting the row
+        // (ADVICE r03): fail loudly instead
+        require(s.length == a.length,
+          s"vecAvg: vector length mismatch (${a.length} vs ${s.length})")
         var i = 0
-        val n = math.min(s.length, a.length)
-        while (i < n) { s(i) += a(i); i += 1 }
+        while (i < s.length) { s(i) += a(i); i += 1 }
         (s, b._2 + 1)
       }
 
@@ -37,9 +41,10 @@ object VecAgg {
       if (x._1.isEmpty) y
       else if (y._1.isEmpty) x
       else {
+        require(x._1.length == y._1.length,
+          s"vecAvg: vector length mismatch (${y._1.length} vs ${x._1.length})")
         var i = 0
-        val n = math.min(x._1.length, y._1.length)
-        while (i < n) { x._1(i) += y._1(i); i += 1 }
+        while (i < x._1.length) { x._1(i) += y._1(i); i += 1 }
         (x._1, x._2 + y._2)
       }
 

@@ -73,8 +73,15 @@ final class BatchedEmbedder(dim: Int = 64, batchSize: Int = 32) extends Embedder
       }
       it.grouped(bs).flatMap(b => b.zip(embedBatch(b)))
     }.toDF(textCol + "_k", outCol)
-    df.join(vecs, df(textCol) === vecs(textCol + "_k"), "left")
-      .drop(textCol + "_k")
+    // join back on md5(text), not the text itself: the join would otherwise
+    // shuffle and compare multi-KB strings as its key. 32 fixed bytes hash/
+    // sort orders of magnitude cheaper at corpus scale (same keying as
+    // Sentiment.score, ADVICE r02).
+    val keyCol = textCol + "_kmd5"
+    val keyed = vecs.select(md5(col(textCol + "_k")).as(keyCol), col(outCol))
+    df.withColumn(keyCol, md5(col(textCol)))
+      .join(keyed, Seq(keyCol), "left")
+      .drop(keyCol)
   }
 }
 

@@ -49,7 +49,7 @@ object DedupQueries {
       |), seeded AS (
       |  SELECT doc_id, sh, unnest(generate_series(0, 7)) AS seed FROM sh)
       |SELECT doc_id, CAST(seed AS BIGINT) AS seed,
-      |  MIN(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS minhash
+      |  MIN(substr(md5(CAST(seed // 4 AS VARCHAR) || '|' || sh), (seed % 4) * 8 + 1, 8)) AS minhash
       |FROM seeded GROUP BY doc_id, seed ORDER BY doc_id, seed""".stripMargin
 
   /** q25: near-dup detection end to end — LSH banding (4 bands × 2 rows)
@@ -84,7 +84,7 @@ object DedupQueries {
       |), seeded AS (
       |  SELECT doc_id, sh, unnest(generate_series(0, 7)) AS seed FROM sh
       |), sig AS (
-      |  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS minhash
+      |  SELECT doc_id, seed, MIN(substr(md5(CAST(seed // 4 AS VARCHAR) || '|' || sh), (seed % 4) * 8 + 1, 8)) AS minhash
       |  FROM seeded GROUP BY doc_id, seed
       |), bands AS (
       |  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
@@ -147,7 +147,7 @@ object DedupQueries {
       |), seeded AS (
       |  SELECT doc_id, sh, unnest(generate_series(0, 7)) AS seed FROM sh
       |), sig AS (
-      |  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS minhash
+      |  SELECT doc_id, seed, MIN(substr(md5(CAST(seed // 4 AS VARCHAR) || '|' || sh), (seed % 4) * 8 + 1, 8)) AS minhash
       |  FROM seeded GROUP BY doc_id, seed
       |), bands AS (
       |  SELECT doc_id, CAST(seed // 2 AS INT) AS band,

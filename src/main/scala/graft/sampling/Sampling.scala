@@ -42,6 +42,16 @@ object Sampling {
   def deterministicSample(df: DataFrame, key: Column, frac: Double): DataFrame =
     df.filter(md5(key.cast("string")) < lit(hexThreshold(frac)))
 
+  /** md5(key) mapped to a uniform double in [0,1) — for callers whose
+    * sampling fraction is itself a column (e.g. cap/size per group) and so
+    * can't be folded into a driver-side hex threshold. Uses the top 15 hex
+    * digits (60 bits); the 2⁻⁵³ double precision loss is irrelevant for
+    * sampling decisions.
+    */
+  def hashFrac(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("double") /
+      lit(1.152921504606846976e18) // 16^15
+
   /** Assign every row a split label from `splits` (label → weight,
     * weights normalized to sum 1) by cumulative hash ranges:
     * train [0, w₁), val [w₁, w₁+w₂), ... — disjoint and exhaustive.

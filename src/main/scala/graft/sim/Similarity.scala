@@ -54,7 +54,7 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, fitSampleRows: Int = 100000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
@@ -63,10 +63,23 @@ object Similarity {
     // roughly-balanced cells, not converged clusters — kmeans|| init plus
     // 20 iterations costs ~30 sequential jobs for no recall gain here
     // (recall comes from nprobe, verified in SimilaritySpec).
+    //
+    // The fit runs on a deterministic hash-sample of ~fitSampleRows rows,
+    // not the full corpus: 8 KMeans iterations over 100 TB would be 8 full
+    // scans just to place rough cell boundaries, and cell shape converges
+    // with a bounded sample. The sample is md5(id)-thresholded
+    // (Sampling.deterministicSample), so the quantizer — hence cell
+    // assignment, hence results — is reproducible on any cluster layout.
+    // Only the one `transform` pass below ever touches the full corpus.
     val km = new KMeans().setK(nlist).setSeed(seed)
       .setInitMode("random").setMaxIter(8)
       .setFeaturesCol("_mlvec").setPredictionCol("_cell")
-    val model = km.fit(withVec, ParamMap(km.solver -> "row"))
+    val total = corpus.count()
+    val fitDf =
+      if (total <= fitSampleRows) withVec
+      else graft.sampling.Sampling.deterministicSample(
+        withVec, col(idCol), fitSampleRows.toDouble / total)
+    val model = km.fit(fitDf, ParamMap(km.solver -> "row"))
     val assigned = model.transform(withVec).drop("_mlvec")
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }

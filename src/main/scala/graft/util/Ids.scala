@@ -70,22 +70,50 @@ object Ids {
     val spark = df.sparkSession
     val keys = keyCols.map(col)
     val sorted = df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
-    val rdd = sorted.rdd
-    rdd.cache()
+    // localCheckpoint, NOT cache (ADVICE r03): a cache()d block evicted
+    // after the totals job would be recomputed, and with duplicate keys the
+    // re-sampled range boundaries could land ties in a different partition
+    // — silently corrupt (non-dense) numbering. localCheckpoint truncates
+    // lineage, so a lost block is a LOUD job failure instead; blocks are
+    // dropped by the ContextCleaner once the RDD is unreferenced (no
+    // session-lifetime accumulation).
+    val rdd = sorted.rdd.localCheckpoint()
+    val keyIdx = keyCols.map(sorted.schema.fieldIndex)
+    // one job: per-partition totals + duplicate-key detection. Rows are
+    // sorted, so equal keys are adjacent; a within-partition scan plus a
+    // boundary compare between consecutive partitions sees every duplicate.
     val totals = rdd
       .mapPartitionsWithIndex { case (pid, it) =>
-        Iterator(pid -> it.map(valueOf).sum)
+        var sum = 0L
+        var first: Seq[Any] = null
+        var prev: Seq[Any] = null
+        var dup = false
+        it.foreach { row =>
+          sum += valueOf(row)
+          val k = keyIdx.map(row.get)
+          if (first == null) first = k
+          if (prev == k) dup = true
+          prev = k
+        }
+        Iterator((pid, sum, Option(first), Option(prev), dup))
       }
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = totals.scanLeft(0L)(_ + _)
+      .collect().sortBy(_._1)
+    require(!totals.exists(_._5),
+      s"scanOrdered keys (${keyCols.mkString(",")}) are not unique — " +
+        "numbering would not be deterministic (SURVEY P13 contract)")
+    totals.map(t => (t._3, t._4)).filter(_._1.isDefined).sliding(2).foreach {
+      case Array((_, Some(lastA)), (Some(firstB), _)) =>
+        require(lastA != firstB,
+          s"scanOrdered keys (${keyCols.mkString(",")}) are not unique " +
+            "(duplicate straddles a partition boundary)")
+      case _ => ()
+    }
+    val offsets = totals.map(_._2).scanLeft(0L)(_ + _)
     val bc = spark.sparkContext.broadcast(offsets)
     val withSum = rdd.mapPartitionsWithIndex { case (pid, it) =>
       var acc = bc.value(pid)
       it.map { row => acc += valueOf(row); Row.fromSeq(row.toSeq :+ acc) }
     }
-    // the cached sorted RDD serves both the totals job and the caller's
-    // materialization; LRU eviction reclaims it afterwards (block-level,
-    // recompute is deterministic: range sampling is seeded per partition)
     spark.createDataFrame(withSum, sorted.schema.add(outCol, LongType))
   }
 }

@@ -48,11 +48,29 @@ object Medoids {
   /** n rows with smallest mean pairwise distance within their cluster
     * (self-join on the cluster key; skips singleton "noise" handling — the
     * reference drops label −1, callers filter first).
+    *
+    * The self-join is O(size²) per cluster, so a single 10 M-row cluster at
+    * real scale would mean 10¹⁴ pairs. Clusters larger than
+    * `maxClusterSize` are deterministically sub-sampled (md5(id) fraction,
+    * [[graft.sampling.Sampling.hashFrac]]) down to ~the cap before pairing:
+    * medoids are then exact over the sample — the standard estimator (same
+    * move as the reference's own subsample knobs) — and the pair count is
+    * bounded by clusters × cap². Clusters at or under the cap are untouched,
+    * so small-scale results (and the q20 oracle) are bit-identical.
     */
   def byPairwise(df: DataFrame, idCol: String, clusterCol: String,
-                 vecCol: String, n: Int): DataFrame = {
-    val a = df.select(col(idCol).as("a_id"), col(clusterCol).as("cl"), col(vecCol).as("a_vec"))
-    val b = df.select(col(idCol).as("b_id"), col(clusterCol).as("cl"), col(vecCol).as("b_vec"))
+                 vecCol: String, n: Int,
+                 maxClusterSize: Int = 20000): DataFrame = {
+    require(maxClusterSize >= math.max(n, 2),
+      s"maxClusterSize=$maxClusterSize too small for n=$n medoids")
+    val sizes = df.groupBy(col(clusterCol)).agg(count(lit(1)).as("_cl_n"))
+    val capped = df.join(broadcast(sizes), Seq(clusterCol))
+      .filter(col("_cl_n") <= maxClusterSize ||
+        graft.sampling.Sampling.hashFrac(col(idCol)) <
+          lit(maxClusterSize.toDouble) / col("_cl_n"))
+      .drop("_cl_n")
+    val a = capped.select(col(idCol).as("a_id"), col(clusterCol).as("cl"), col(vecCol).as("a_vec"))
+    val b = capped.select(col(idCol).as("b_id"), col(clusterCol).as("cl"), col(vecCol).as("b_vec"))
     val pair = a.join(b, Seq("cl")).filter(col("a_id") =!= col("b_id"))
       .withColumn("d", sqrt(VectorOps.sqDist(col("a_vec"), col("b_vec"))))
     val avgd = pair.groupBy(col("cl"), col("a_id"))

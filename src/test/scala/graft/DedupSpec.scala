@@ -54,6 +54,19 @@ class DedupSpec extends SparkSpec {
     assert(sh.length == 1)
   }
 
+  test("minhash values are 8-hex 32-bit words; sig shorter than a band emits nothing") {
+    val wide = Dedup.minHashWide(docs, "doc_id", "text", 3, 8)
+    assert(wide.select(explode($"sig")).collect
+      .forall(_.getString(0).matches("[0-9a-f]{8}")))
+    // ADVICE r03: nBands=0 must yield no bands, not a band=-1 garbage row
+    val shortSig = Seq((1L, Seq("aaaaaaaa")), (2L, Seq("aaaaaaaa")))
+      .toDF("doc_id", "sig")
+    assert(Dedup.lshCandidatePairs(shortSig, "doc_id", bandRows = 2).count() == 0)
+    intercept[IllegalArgumentException] {
+      Dedup.lshCandidatePairs(wide, "doc_id", bandRows = 0)
+    }
+  }
+
   test("wide and row-grain minhash signatures agree") {
     val wide = Dedup.minHashWide(docs, "doc_id", "text", 3, 8)
       .collect.map(r => r.getLong(0) -> r.getSeq[String](1)).toMap

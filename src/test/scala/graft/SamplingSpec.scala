@@ -45,4 +45,18 @@ class SamplingSpec extends SparkSpec {
     val grown = split.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(first.forall { case (k, v) => grown(k) == v })
   }
+
+  test("hashFrac lands in [0,1) and agrees with the hex-threshold decision") {
+    val fracs = ids.select(Sampling.hashFrac($"id").as("f"))
+      .as[Double].collect()
+    assert(fracs.forall(f => f >= 0.0 && f < 1.0))
+    // same sampling decision as deterministicSample for the same fraction
+    // (hashFrac truncates md5 to 60 bits — a disagreement needs a key whose
+    // top 60 bits sit exactly on the threshold, ~2⁻⁶⁰ per key)
+    val viaFrac = ids.filter(Sampling.hashFrac($"id") < 0.3)
+      .as[Long].collect().toSet
+    val viaHex = Sampling.deterministicSample(ids, $"id", 0.3)
+      .as[Long].collect().toSet
+    assert(viaFrac == viaHex)
+  }
 }

@@ -51,6 +51,16 @@ class UtilSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("denseIndex/prefixSum reject duplicate keys loudly") {
+    // ADVICE r03: with non-unique keys a recomputed block could land ties
+    // in a different range partition — assert instead of documenting
+    val df = Seq("a", "b", "b", "c").toDF("k").repartition(3)
+    val e = intercept[IllegalArgumentException] {
+      Ids.denseIndex(df, "idx", "k").collect()
+    }
+    assert(e.getMessage.contains("not unique"))
+  }
+
   test("vecAvg computes the element-wise mean per group") {
     val df = Seq(
       ("a", Seq(1.0, 2.0)), ("a", Seq(3.0, 6.0)), ("b", Seq(10.0, 20.0))
@@ -59,6 +69,18 @@ class UtilSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
     assert(got("a") == Seq(2.0, 4.0))
     assert(got("b") == Seq(10.0, 20.0))
+  }
+
+  test("vecAvg fails loudly on ragged vector lengths") {
+    // ADVICE r03: min(length) truncation was a silently-wrong mean
+    val df = Seq(("a", Seq(1.0, 2.0)), ("a", Seq(3.0))).toDF("g", "v")
+    val e = intercept[Throwable] {
+      df.groupBy($"g").agg(VecAgg.vecAvg($"v").as("c")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("length mismatch")))
   }
 
   test("vecAvg ignores null vectors; all-null group yields null") {

@@ -67,4 +67,23 @@ class WizardSpec extends SparkSpec {
     val got = Medoids.byPairwise(df, "id", "cl", "vec", 1).head
     assert(got.getLong(0) == 1L)
   }
+
+  test("medoids byPairwise caps oversized clusters by deterministic subsample") {
+    val df = (0 until 60).map(i => (i.toLong, 0, Array(i.toFloat)))
+      .toDF("id", "cl", "vec")
+    // capped run == exact medoids over the md5(id) hash-sample subset
+    val capped = Medoids.byPairwise(df, "id", "cl", "vec", 2, maxClusterSize = 10)
+    val sample = df.filter(graft.sampling.Sampling.hashFrac($"id") < 10.0 / 60)
+    assert(sample.count() < 60) // the cap actually bit
+    val expected = Medoids.byPairwise(sample, "id", "cl", "vec", 2)
+    assert(capped.collect.toSet == expected.collect.toSet)
+    // clusters at/under the cap are bit-identical to the unguarded form
+    val atCap = Medoids.byPairwise(df, "id", "cl", "vec", 2, maxClusterSize = 60)
+    val full = Medoids.byPairwise(df, "id", "cl", "vec", 2)
+    assert(atCap.collect.toSet == full.collect.toSet)
+    // a cap that can't yield n medoids is a loud config error
+    intercept[IllegalArgumentException] {
+      Medoids.byPairwise(df, "id", "cl", "vec", 5, maxClusterSize = 3)
+    }
+  }
 }

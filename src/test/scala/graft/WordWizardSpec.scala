@@ -57,6 +57,30 @@ class WordWizardSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("BatchedEmbedder drives the full chain through the mapPartitions seam") {
+    // the default wizard never exercises the batched-inference path; this
+    // pins the end-to-end contract a real ONNX/DJL kernel would plug into
+    val w = WordWizard(corpus, "paragraph")
+      .copy(embedder = new graft.nlp.kernels.BatchedEmbedder(dim = 32, batchSize = 4))
+      .createSentenceEmbeddings()
+      .clusterEmbeddings(k = Some(2))
+      .topicModelling(nWords = 3)
+    val emb = "paragraph_sentence_embeddings"
+    val out = w.df.cache()
+    assert(out.count() == 24)
+    // every row embedded (left join found its md5-keyed vector), right dim
+    assert(out.filter(col(emb).isNull).count() == 0)
+    assert(out.select(size(col(emb))).head.getInt(0) == 32)
+    // duplicate texts get identical vectors (distinct→embed→join-back)
+    val dup = (corpus union corpus)
+    val dw = WordWizard(dup, "paragraph")
+      .copy(embedder = new graft.nlp.kernels.BatchedEmbedder(dim = 16, batchSize = 4))
+      .createWordEmbeddings()
+    assert(dw.df.select(col("paragraph"), col("paragraph_word_embeddings"))
+      .distinct().count() == 24)
+    out.unpersist()
+  }
+
   test("body mode dedups to article grain") {
     val df = Seq(
       (0L, "body one text", "para a"),
