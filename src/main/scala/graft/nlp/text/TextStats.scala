@@ -114,7 +114,9 @@ object TextStats {
     df.withColumn("tokens_ws",
         size(filter(split(col(textCol), " "), t => t =!= "")).cast("long"))
       .withColumn("tokens_re",
-        regexp_count(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long"))
+        // whitespace spelled out (incl. \x0B): Java's \s has VT, RE2's does
+        // not — the shorthand diverges across engines (ADVICE r02/r04)
+        regexp_count(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]")).cast("long"))
       .withColumn("tokens_bpe_est",
         ceil(length(col(textCol)) / lit(4.0)).cast("long"))
 

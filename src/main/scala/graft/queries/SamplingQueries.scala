@@ -68,9 +68,13 @@ object SamplingQueries {
   def q44PackSequences(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val seqLen = 2048L
+    // Whitespace spelled out (incl. \x0B) rather than `\s`: Java's \s
+    // contains vertical tab, DuckDB/RE2's does not, so the shorthand counts
+    // a VT as a token on one engine only (ADVICE r02/r04). The explicit
+    // class is identical bytes on both sides.
     val toks = Tables(spark, dir, "documents")
       .select($"doc_id",
-        regexp_count($"text", lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+        regexp_count($"text", lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]"))
           .cast("long").as("nt"))
     graft.util.Ids.prefixSum(toks, "cum", "nt", "doc_id")
       .withColumn("bin", (($"cum" - $"nt") / seqLen).cast("long"))
@@ -82,7 +86,7 @@ object SamplingQueries {
   val q44Sql: String =
     """WITH t AS (
       |  SELECT doc_id,
-      |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS nt
+      |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS nt
       |  FROM documents
       |), c AS (
       |  SELECT doc_id, nt,

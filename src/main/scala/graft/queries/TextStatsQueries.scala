@@ -136,7 +136,7 @@ object TextStatsQueries {
   val q31Sql: String =
     """SELECT doc_id,
       |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS tokens_ws,
-      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS tokens_re,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS tokens_re,
       |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS tokens_bpe_est
       |FROM documents ORDER BY doc_id""".stripMargin
 

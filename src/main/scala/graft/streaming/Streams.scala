@@ -99,30 +99,50 @@ object Streams {
     * operator is deterministic under processAllAvailable (no clock
     * timeouts).
     */
-  def emitClosedSessions(events: Dataset[Event],
-                         gapMs: Long): Dataset[ClosedSession] = {
+  def emitClosedSessions(events: Dataset[Event], gapMs: Long,
+                         eventTimeTimeout: Boolean = false): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
+    // Without a timeout an idle user's FINAL session never emits and its
+    // state is retained forever (ADVICE r04). EventTimeTimeout fires when
+    // the watermark passes lastTs+gap — deterministic under
+    // processAllAvailable, unlike a wall-clock timeout — flushing and
+    // clearing the state. Requires `withWatermark` on the input stream.
+    val timeoutConf = if (eventTimeTimeout) GroupStateTimeout.EventTimeTimeout
+                      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, ClosedSession](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
-          val closed = Seq.newBuilder[ClosedSession]
-          var cur = state.getOption
-          sorted.foreach { e =>
-            cur match {
-              case Some(s) if e.ts.getTime - s.lastTs >= gapMs =>
-                closed += ClosedSession(userId, s.nEvents, s.sumValue, s.lastTs)
-                cur = Some(SessionState(1L, e.value, e.ts.getTime))
-              case Some(s) =>
-                cur = Some(SessionState(s.nEvents + 1, s.sumValue + e.value,
-                  math.max(s.lastTs, e.ts.getTime)))
-              case None =>
-                cur = Some(SessionState(1L, e.value, e.ts.getTime))
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              ClosedSession(userId, s.nEvents, s.sumValue, s.lastTs))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val closed = Seq.newBuilder[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.lastTs >= gapMs =>
+                  closed += ClosedSession(userId, s.nEvents, s.sumValue, s.lastTs)
+                  cur = Some(SessionState(1L, e.value, e.ts.getTime))
+                case Some(s) =>
+                  cur = Some(SessionState(s.nEvents + 1, s.sumValue + e.value,
+                    math.max(s.lastTs, e.ts.getTime)))
+                case None =>
+                  cur = Some(SessionState(1L, e.value, e.ts.getTime))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              if (eventTimeTimeout)
+                // must stay ahead of the current watermark or Spark rejects it
+                state.setTimeoutTimestamp(
+                  math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            closed.result().iterator
           }
-          cur.foreach(state.update)
-          closed.result().iterator
       }
   }
 

@@ -94,6 +94,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("emitClosedSessions event-time timeout flushes an idle user's final session") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Streams.Event]
+    val q = Streams.emitClosedSessions(
+        in.toDS.withWatermark("ts", "0 seconds"), gapMs = 60000L,
+        eventTimeTimeout = true)
+      .writeStream.format("memory").queryName("closed_to")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Streams.Event(ts(1), 1L, "click", 1.0),
+        Streams.Event(ts(2), 1L, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("closed_to").isEmpty)
+      // user 1 goes idle; other-user traffic advances the watermark past
+      // lastTs+gap (watermark lags one micro-batch, hence two batches)
+      in.addData(Streams.Event(ts(600), 2L, "view", 5.0))
+      q.processAllAvailable()
+      in.addData(Streams.Event(ts(610), 2L, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("closed_to").as[Streams.ClosedSession].collect().toSet
+      assert(rows.contains(Streams.ClosedSession(1L, 2L, 3.0, 2000L)))
+    } finally q.stop()
+  }
+
   test("batch-over-stream: foreachBatch reuses the batch cleaner verbatim") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, String)]
