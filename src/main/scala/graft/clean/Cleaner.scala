@@ -71,13 +71,29 @@ object Cleaner {
     */
   def clean(df: DataFrame, cols: Seq[String] = Seq("title", "description", "body", "paragraph")): DataFrame = {
     val present = cols.filter(df.columns.contains)
-    val flagged = present.foldLeft(df) { (d, name) =>
-      val normalized = normalize(col(name))
-      val contentFlagged =
-        if (name == "body") normalized
-        else nullIfBoilerplate(nullIfBlacklisted(normalized))
-      val base = nullIfBlank(nullIfShort(contentFlagged, minLens.getOrElse(name, 1)))
-      d.withColumn(name, base)
+    // Stage 1: normalize each column ONCE into a plain attribute. This is a
+    // separate projection on purpose: stage 2 references each normalized
+    // value several times, and CollapseProject keeps the boundary when a
+    // non-cheap producer expression is consumed more than once — so the
+    // regexp_replace chain is never duplicated into the flag CASEs.
+    val normalized = present.foldLeft(df) { (d, name) =>
+      d.withColumn(name, normalize(col(name)))
+    }
+    // Stage 2: one flat CASE per column ORing every null-out rule
+    // (P7 | P9 | P8 | P10). Each rule independently maps the cell to NULL,
+    // so rule order is immaterial and a single `when` replaces the previous
+    // 4-deep nest — whose repeated `.otherwise(c)` branches doubled the
+    // expression tree per layer and pushed the fused Project past janino's
+    // 64 KB per-method limit, silently dropping the whole ETL clean stage
+    // to interpreted evaluation.
+    val flagged = present.foldLeft(normalized) { (d, name) =>
+      val c = col(name)
+      val contentBad =
+        if (name == "body") lit(false)
+        else c.rlike(blacklistRe) || c.rlike(removalRe)
+      d.withColumn(name,
+        when(contentBad || length(c) < minLens.getOrElse(name, 1) ||
+          c.rlike("^\\s*$"), lit(null)).otherwise(c))
     }
     flagged.na.drop("any", present)
   }
@@ -96,7 +112,9 @@ object Cleaner {
     * (content_cleaner.py:5-131): fillna "" (P5) → longest-of body/title
     * coalesce (P12) → rename to canonical names (P4) → flag-then-drop
     * (P7–P11) → canonical 8-column projection (P6). Pure column
-    * expressions end to end — one codegen stage, no shuffle.
+    * expressions end to end — no shuffle; two staged codegen projections
+    * (normalize, then flag) sized to stay under janino's 64 KB method
+    * limit so the ETL clean path actually runs compiled, not interpreted.
     */
   def cleanArticles(df: DataFrame, strictParity: Boolean = false): DataFrame = {
     val strCols = df.schema.fields

@@ -46,6 +46,34 @@ class CleanerSpec extends SparkSpec {
     assert(got.head.getString(1).contains("https://example.com/ir"))
   }
 
+  test("cleanArticles compiles under whole-stage codegen (no janino 64KB fallback)") {
+    val raw = Seq.tabulate(8) { i =>
+      (i.toLong, "google", s"https://news.example/a$i", "example",
+        "A perfectly long search headline " + i,
+        "d" * 120 + i,
+        "An equally fine n3k headline " + i, "b" * 450 + i,
+        "A shorter bs headline " + i, "c" * 460 + i,
+        "p" * 180 + i)
+    }.toDF("article_index", "engine", "se_link", "se_source", "se_title",
+      "se_description", "n3k_title", "n3k_body", "bs_title", "bs_body",
+      "paragraph")
+      // keep the input out of ConvertToLocalRelation so the clean chain
+      // actually codegens instead of constant-folding at optimization time
+      .repartition(2)
+    // With fallback disabled, any "Code grows beyond 64 KB" janino error
+    // in the clean chain surfaces as an exception instead of a silent
+    // interpreted-mode downgrade.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = Cleaner.cleanArticles(raw)
+      assert(out.collect().length == 8) // materializes the AQE final plan
+      // WholeStageCodegen prints as "*(n)" in the AQE final-plan string
+      val planStr = out.queryExecution.executedPlan.toString
+      assert(planStr.contains("WholeStageCodegen") ||
+        "\\*\\(\\d+\\)".r.findFirstIn(planStr).isDefined)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("clean drops rows with any flagged required column and is idempotent") {
     val ok = "x" * 25
     val df = Seq(
