@@ -8,19 +8,34 @@ import graft.util.Exact
 /** Batch twin of the streaming operators (graft.streaming.Streams): the
   * same event-time windowed aggregation a `readStream` pipeline runs with
   * a watermark, here over the at-rest events table — Trigger.AvailableNow
-  * semantics. events.ts is parquet TIMESTAMP(NANOS), read as a nanos long
-  * (spark.sql.legacy.parquet.nanosAsLong) and bucketed via Spark's
-  * window() after an exact integer nanos→micros conversion.
+  * semantics.
+  *
+  * events.ts arrives in one of two parquet vintages, handled adaptively by
+  * [[tsMicros]]: TIMESTAMP(NANOS) read as a nanos long
+  * (spark.sql.legacy.parquet.nanosAsLong) needs an exact integer
+  * nanos→micros conversion; TIMESTAMP(MICROS, isAdjustedToUTC=false) reads
+  * as TIMESTAMP_NTZ and only needs a cast to session-UTC timestamp (the
+  * identical micros value DuckDB's epoch_ns(ts) // 1000 produces).
   */
 object EventQueries {
+
+  /** events.ts as a session-UTC TIMESTAMP at exact micros precision,
+    * whichever parquet vintage the table carries (see object docs).
+    */
+  private def tsMicros(df: DataFrame): org.apache.spark.sql.Column =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
 
   /** q34: tumbling 1-hour event-time windows × event_type, with exact
     * decimal value sums (order-independent — see graft.util.Exact).
     */
   def q34EventWindows(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, dir, "events")
-      .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+    val ev = Tables(spark, dir, "events")
+    ev.withColumn("tsm", tsMicros(ev))
       .groupBy(window($"tsm", "1 hour").as("w"), $"event_type")
       .agg(count(lit(1)).as("n_events"), Exact.dsum($"value").as("sum_value"))
       .select((unix_micros($"w.start") * 1000).as("window_ns"),
@@ -42,8 +57,8 @@ object EventQueries {
     */
   def q35SessionWindows(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, dir, "events")
-      .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+    val ev = Tables(spark, dir, "events")
+    ev.withColumn("tsm", tsMicros(ev))
       .groupBy($"user_id", session_window($"tsm", "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"), Exact.dsum($"value").as("sum_value"))
       .select($"user_id",
