@@ -29,12 +29,26 @@ object Bench {
         try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
         spark.catalog.clearCache()
       }
+    // Native-lib status up front: r19→r20 showed ±25-43% per-query swings on
+    // byte-identical code, and the harness never recorded whether netlib
+    // found a native BLAS — log it so perf deltas can be attributed.
+    try {
+      val blas = dev.ludovic.netlib.blas.BLAS.getInstance()
+      System.err.println(s"[bench] BLAS implementation: ${blas.getClass.getName}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BLAS status unavailable: ${e.getMessage}")
+    }
     // Min-of-N timing: a single shared-JVM shot is dominated by GC/JIT churn
     // from whatever ran before it (r3 post-mortem: the same unchanged query
     // measured 35 s in one run order and 2.4 s in another). The minimum of N
     // repetitions is the best estimator of the plan's intrinsic cost; a GC
     // between reps stops one query's garbage from being billed to the next.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Default raised 3→5 (r21): on identical code, min-of-3 still swung
+    // per-query times 0.75×–1.14× between rounds; two extra reps tighten the
+    // min at ~40% more bench wall-clock. The reported value stays the min
+    // (same methodology/statistic as every prior round — comparable); the
+    // median and per-rep spread go to stderr as diagnostics.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         System.gc()
@@ -44,11 +58,18 @@ object Bench {
         spark.catalog.clearCache() // intra-query caches must not leak across timings
         dt
       }
-      name -> times.min
+      val sorted = times.sorted
+      val median = sorted(sorted.size / 2)
+      System.err.println(
+        f"[bench] $name%-24s min=${sorted.head}%.3f median=$median%.3f " +
+          f"max=${sorted.last}%.3f reps=$reps")
+      name -> (sorted.head, median)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (mn, _)) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val totalMedian = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
+    System.err.println(f"[bench] total min=$total%.3f median=$totalMedian%.3f")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

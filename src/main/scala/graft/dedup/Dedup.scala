@@ -326,8 +326,11 @@ object Dedup {
                      maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
     val chunkLen = 64 / chunks
     // both join sides reuse the signature subtree — materialize once
-    // (64 bits/doc; the recompute would double the bit-vote aggregation)
-    val sh = simHash(df, idCol, textCol).cache()
+    // (64 bits/doc; the recompute would double the bit-vote aggregation).
+    // localCheckpoint, not cache (r21): this library .cache() was never
+    // unpersisted — a leak in long-lived sessions; checkpoint blocks are
+    // dropped by the ContextCleaner once the result is unreferenced.
+    val sh = simHash(df, idCol, textCol).localCheckpoint(true)
     val banded = sh.select(col(idCol), col("simhash"),
         explode(sequence(lit(0), lit(chunks - 1))).as("band"))
       .withColumn("slice",

@@ -129,21 +129,24 @@ object TextStats {
     */
   def winnowFingerprint(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, window: Int = 4): DataFrame = {
+    // Fully in-row (r21): the sliding-window minima are per-document state
+    // over a bounded shingle array, so the whole fingerprint is a
+    // scan-project — ZERO shuffles at any corpus size. The previous
+    // relational formulation (explode shingles → per-doc rank window →
+    // DISTINCT → groupBy collect_list) moved every shingle hash through
+    // THREE corpus-grain exchanges to compute the same per-row value.
+    // Stage boundaries (separate selects) keep each multi-use array a plain
+    // attribute so CollapseProject can't duplicate the producer expression.
     val tok = df.select(col(idCol), Text.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= k)
-    val sh = tok
-      .select(col(idCol), col("toks"),
-        explode(sequence(lit(1), size(col("toks")) - (k - 1))).as("i"))
-      .select(col(idCol), col("i"),
-        substring(md5(array_join(slice(col("toks"), col("i"), lit(k)), " ")),
-          1, 8).as("h"))
-    val win = sh.withColumn("wm", min(col("h")).over(
-      Window.partitionBy(col(idCol)).orderBy(col("i"))
-        .rowsBetween(0, window - 1)))
-    win.select(col(idCol), col("wm")).distinct()
-      .groupBy(col(idCol))
-      .agg(
-        md5(array_join(array_sort(collect_list(col("wm"))), "")).as("fingerprint"),
-        count(lit(1)).as("n_hashes"))
+    val hashed = tok.select(col(idCol),
+      transform(Text.ngrams(col("toks"), k),
+        g => substring(md5(g), 1, 8)).as("h"))
+    val wins = hashed.select(col(idCol),
+      array_distinct(transform(sequence(lit(1), size(col("h"))),
+        i => array_min(slice(col("h"), i, lit(window))))).as("wm"))
+    wins.select(col(idCol),
+      md5(array_join(array_sort(col("wm")), "")).as("fingerprint"),
+      size(col("wm")).cast("long").as("n_hashes"))
   }
 }

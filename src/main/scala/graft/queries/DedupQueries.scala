@@ -62,11 +62,17 @@ object DedupQueries {
     val docs = Tables.balanced(spark, dir, "documents")
     // wide signatures feed both join sides — materialize once (one row/doc)
     // instead of recomputing the shingle scan per side; the estimate rides
-    // along in-row from the pair join (no signature re-join)
-    val sig = Dedup.minHashWide(docs, "doc_id", "text", 3, 8).cache()
+    // along in-row from the pair join (no signature re-join).
+    // localCheckpoint, not cache (r21): a .cache() here is never
+    // unpersisted — a slow leak in any long-lived session — while
+    // checkpoint blocks are dropped by the ContextCleaner as soon as the
+    // query's RDD is unreferenced. Same single materialization either way.
+    val sig = Dedup.minHashWide(docs, "doc_id", "text", 3, 8)
+      .localCheckpoint(true)
     // pairs feed two consumers (the estimate output and the verify join)
-    // — cache the tiny pair frame so the band self-join runs once
-    val pairs = Dedup.lshCandidatePairs(sig, "doc_id", bandRows = 2).cache()
+    // — materialize the tiny pair frame so the band self-join runs once
+    val pairs = Dedup.lshCandidatePairs(sig, "doc_id", bandRows = 2)
+      .localCheckpoint(true)
     pairs
       .join(Dedup.verifyPairs(pairs, docs, "doc_id", "text"),
         Seq("doc_a", "doc_b"))
@@ -125,10 +131,12 @@ object DedupQueries {
   def q39NeardupGroups(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.balanced(spark, dir, "documents")
-    // cache: the band self-join consumes the signature subtree on BOTH
-    // sides with different aliases, which defeats exchange reuse — without
-    // this the shingle scan + minhash agg runs twice
-    val sig = Dedup.minHashWide(docs, "doc_id", "text", 3, 8).cache()
+    // materialize: the band self-join consumes the signature subtree on
+    // BOTH sides with different aliases, which defeats exchange reuse —
+    // without this the shingle scan + minhash agg runs twice.
+    // localCheckpoint, not cache — see q25 (auto-dropped, no session leak).
+    val sig = Dedup.minHashWide(docs, "doc_id", "text", 3, 8)
+      .localCheckpoint(true)
     val pairs = Dedup.lshCandidatePairs(sig, "doc_id", bandRows = 2)
       .filter($"est_jaccard" >= 0.5)
       .select($"doc_a", $"doc_b")
@@ -191,7 +199,9 @@ object DedupQueries {
       .bucketedPairs(joined, "doc_id", "embedding", bits = 8)
       .filter($"cosine" >= 0.15)
       .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"), $"cosine")
-      .cache() // two consumers: output join + verifyPairs input
+      // two consumers: output join + verifyPairs input.
+      // localCheckpoint, not cache — see q25 (auto-dropped, no session leak).
+      .localCheckpoint(true)
     pairs
       .join(Dedup.verifyPairs(pairs, docs, "doc_id", "text"),
         Seq("doc_a", "doc_b"))

@@ -179,12 +179,18 @@ object NlpQueries {
     val docs = Tables.balanced(spark, dir, "documents")
     val medoids = Medoids.byCentroid(Tables.balanced(spark, dir, "embeddings"),
       "vec_id", "label", "embedding", 2)
+    // Both small sides are bounded at clusters × n rows (medoid ids, then
+    // medoid summaries) at ANY corpus size — broadcast them explicitly so
+    // neither join ever shuffles the corpus: without the hints the static
+    // planner picked the corpus as the build side of the first join and a
+    // SortMergeJoin (full doc_id shuffle + sort of the docs table) for the
+    // summary attach (r21 plan audit).
     val summaries = docs
-      .join(medoids, docs("doc_id") === medoids("vec_id"))
+      .join(broadcast(medoids), docs("doc_id") === medoids("vec_id"))
       .withColumn("summary",
         array_join(slice(split($"text", " "), 1, 20), " "))
       .select($"doc_id", $"summary")
-    docs.join(summaries, Seq("doc_id"), "left")
+    docs.join(broadcast(summaries), Seq("doc_id"), "left")
       .select($"doc_id", $"summary")
       .orderBy($"doc_id")
   }

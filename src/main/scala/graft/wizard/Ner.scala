@@ -27,10 +27,24 @@ object Ner {
     */
   def topEntities(df: DataFrame, clusterCol: String,
                   zones: Seq[(Column, Int)], minLen: Int, n: Int): DataFrame = {
-    val exploded = zones.map { case (toks, weight) =>
-      df.select(col(clusterCol),
-        explode(toks).as("term"), lit(weight).as("weight"))
-    }.reduce(_ unionByName _)
+    // ONE corpus pass for all zones: each zone's token array becomes
+    // (term, weight) structs and the concatenation explodes once. The
+    // previous unionByName-of-selects formulation scanned (and re-tokenized)
+    // the corpus once PER ZONE — at 3 zones, 3 full passes — for rows the
+    // aggregation below treats identically regardless of arrival order.
+    // coalesce per zone: flatten() yields NULL (not the other zones' terms)
+    // if ANY element array is null — a row with a null title must still
+    // contribute its body terms, exactly as the per-zone explodes did.
+    val emptyZone = array().cast("array<struct<term:string,weight:int>>")
+    val zoneStructs = zones.map { case (toks, weight) =>
+      coalesce(
+        transform(toks, t => struct(t.as("term"), lit(weight).as("weight"))),
+        emptyZone)
+    }
+    val exploded = df.select(col(clusterCol),
+        explode(flatten(array(zoneStructs: _*))).as("tw"))
+      .select(col(clusterCol),
+        col("tw.term").as("term"), col("tw.weight").as("weight"))
     val counted = exploded
       .filter(length(col("term")) >= minLen)
       .groupBy(col(clusterCol), col("term"))

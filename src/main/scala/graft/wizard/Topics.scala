@@ -35,10 +35,15 @@ object Topics {
     val t = tok.groupBy(col(clusterCol), col("term"))
       .agg(count(lit(1)).as("cnt"))
     val m = df.agg(count(lit(1)).as("m"))
-    t.withColumn("cluster_total",
-        sum($("cnt")).over(Window.partitionBy(col(clusterCol))))
-      .withColumn("term_total",
+    // term_total FIRST, cluster_total LAST: the downstream top-n rank window
+    // ([[topTerms]]) partitions by the cluster key, so ending on the
+    // cluster-partitioned window lets the rank window reuse that exchange
+    // (3 vocabulary-grain shuffles → 2; the sums are independent, so order
+    // doesn't change a single value).
+    t.withColumn("term_total",
         sum($("cnt")).over(Window.partitionBy($("term"))))
+      .withColumn("cluster_total",
+        sum($("cnt")).over(Window.partitionBy(col(clusterCol))))
       .crossJoin(broadcast(m))
       .withColumn("score",
         ($("cnt") / $("cluster_total")) * log($("m") / $("term_total")))

@@ -68,6 +68,17 @@ class SimilaritySpec extends SparkSpec {
       .collect.map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.8, s"recall $recall")
+
+    // totalRows hint path (r21): the quantizer fit runs on a deterministic
+    // md5-sample sized from the hint instead of a corpus.count() pre-scan;
+    // the probe/top-k dataflow and recall contract are unchanged.
+    val sampled = Similarity.ivfTopK(queries, corpus, "vec_id", "embedding",
+        k = 5, nlist = 4, nprobe = 2, fitSampleRows = 50,
+        totalRows = Some(corpus.count()))
+      .collect.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(sampled.size == exact.size, "hint path must return k rows per query")
+    val recallSampled = exact.intersect(sampled).size.toDouble / exact.size
+    assert(recallSampled >= 0.6, s"sampled-fit recall $recallSampled")
   }
 
   test("SqrtComparisonRule rewrites sqrt(vec_sqdist) radius filters exactly") {
