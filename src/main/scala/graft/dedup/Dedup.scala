@@ -330,7 +330,7 @@ object Dedup {
     // localCheckpoint, not cache (r21): this library .cache() was never
     // unpersisted — a leak in long-lived sessions; checkpoint blocks are
     // dropped by the ContextCleaner once the result is unreferenced.
-    val sh = simHash(df, idCol, textCol).localCheckpoint(true)
+    val sh = simHash(df, idCol, textCol).localCheckpoint(false)
     val banded = sh.select(col(idCol), col("simhash"),
         explode(sequence(lit(0), lit(chunks - 1))).as("band"))
       .withColumn("slice",

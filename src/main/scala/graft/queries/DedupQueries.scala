@@ -17,10 +17,15 @@ object DedupQueries {
   // fixtures (ADVICE r01).
   private val toksExpr = OracleSql.toks("text")
 
-  /** q23: exact dedup by content hash (keep smallest id as canonical). */
+  /** q23: exact dedup by content hash (keep smallest id as canonical).
+    * Plain scan, not [[Tables.balanced]] (r21): the only per-row compute is
+    * one md5, so the balance repartition added a full-table exchange
+    * (carrying `text`) ahead of the groupBy's own shuffle for nothing —
+    * the map-side partial agg parallelizes exactly as well off the scan.
+    */
   def q23DedupExact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Dedup.exact(Tables.balanced(spark, dir, "documents"), "doc_id", "text")
+    Dedup.exact(Tables(spark, dir, "documents"), "doc_id", "text")
       .orderBy($"content_md5")
   }
 
@@ -68,11 +73,11 @@ object DedupQueries {
     // checkpoint blocks are dropped by the ContextCleaner as soon as the
     // query's RDD is unreferenced. Same single materialization either way.
     val sig = Dedup.minHashWide(docs, "doc_id", "text", 3, 8)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // pairs feed two consumers (the estimate output and the verify join)
     // — materialize the tiny pair frame so the band self-join runs once
     val pairs = Dedup.lshCandidatePairs(sig, "doc_id", bandRows = 2)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     pairs
       .join(Dedup.verifyPairs(pairs, docs, "doc_id", "text"),
         Seq("doc_a", "doc_b"))
@@ -136,7 +141,7 @@ object DedupQueries {
     // without this the shingle scan + minhash agg runs twice.
     // localCheckpoint, not cache — see q25 (auto-dropped, no session leak).
     val sig = Dedup.minHashWide(docs, "doc_id", "text", 3, 8)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val pairs = Dedup.lshCandidatePairs(sig, "doc_id", bandRows = 2)
       .filter($"est_jaccard" >= 0.5)
       .select($"doc_a", $"doc_b")
@@ -201,7 +206,7 @@ object DedupQueries {
       .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"), $"cosine")
       // two consumers: output join + verifyPairs input.
       // localCheckpoint, not cache — see q25 (auto-dropped, no session leak).
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     pairs
       .join(Dedup.verifyPairs(pairs, docs, "doc_id", "text"),
         Seq("doc_a", "doc_b"))

@@ -11,10 +11,14 @@ import graft.Tables
   */
 object MultimodalQueries {
 
-  /** q33: binary ingestion metadata (octet length, md5 of the raw bytes). */
+  /** q33: binary ingestion metadata (octet length, md5 of the raw bytes).
+    * Plain scan, not [[graft.Tables.balanced]] (r21): encode+md5 is one
+    * cheap pass, so the balance repartition was a pure extra exchange of
+    * the payload bytes (same reasoning as q23).
+    */
   def q33BinaryFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.balanced(spark, dir, "documents")
+    Tables(spark, dir, "documents")
       .select($"doc_id", lit("text").as("modality"),
         encode($"text", "utf-8").as("bin"))
       .select($"doc_id", $"modality",
