@@ -125,6 +125,12 @@ object Profile {
       Seq("BroadcastHashJoin", "ObjectHashAggregate"))
     audit("q12 column pruning", graft.queries.Relational.q12Md5(spark, sfDir),
       Seq("ReadSchema: struct<doc_id:bigint,text:string>"))
+    // q38's bucket self-join references the docs⋈emb subtree on both sides;
+    // the static plan prints it twice — check whether AQE actually reuses
+    // the materialized shuffle stage at runtime (ReusedExchange) or pays
+    // the join twice (r21 "not yet optimized" #1).
+    audit("q38 exchange reuse", graft.queries.DedupQueries.q38EmbedDedup(spark, sfDir),
+      Seq("ReusedExchange"))
     spark.stop()
   }
 }

@@ -115,7 +115,9 @@ object Cluster {
                  vecCol: String, outCol: String, n: Int = 2): DataFrame = {
     val ranked = Medoids.byCentroid(df, idCol, clusterCol, vecCol, n)
       .select(col(idCol), lit(true).as(outCol))
-    df.join(ranked, Seq(idCol), "left")
+    // ranked is bounded at clusters × n rows at any corpus size — broadcast
+    // so flagging never shuffles the corpus by id (r21).
+    df.join(broadcast(ranked), Seq(idCol), "left")
       .withColumn(outCol, coalesce(col(outCol), lit(false)))
   }
 

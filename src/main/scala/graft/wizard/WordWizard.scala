@@ -120,7 +120,10 @@ final case class WordWizard(df: DataFrame, interest: String = "paragraph",
     val summaries = df.filter(col(medoidCol))
       .select(col(idCol),
         LeadKSummarizer.summarize(col(interest), leadK).as(outCol))
-    copy(df = df.join(summaries, Seq(idCol), "left"))
+    // summaries are bounded at clusters × nMedoids rows at any corpus size
+    // — broadcast so the attach never shuffles the corpus by id (r21; same
+    // reasoning as the q21 plan fix).
+    copy(df = df.join(broadcast(summaries), Seq(idCol), "left"))
   }
 
   /** B6/A3/W4: top-n weighted entity candidates per cluster, constant
