@@ -158,14 +158,27 @@ object Dedup {
     */
   def verifyPairs(pairs: DataFrame, df: DataFrame, idCol: String,
                   textCol: String, ngramSize: Int = 1): DataFrame = {
+    // Prune BEFORE tokenizing (r21): only docs that appear in a candidate
+    // pair can survive the doc_a/doc_b joins below, yet the gram-set
+    // projection used to run over the ENTIRE corpus — and because the two
+    // join sides consume it under different aliases, the tokenizer ran
+    // corpus-wide TWICE per verify. A semi-join on the pair participants
+    // (bounded by the candidate set, which at scale is orders of magnitude
+    // smaller than the corpus) makes both passes proportional to the pairs
+    // being verified. Row-for-row identical output: the inner joins dropped
+    // non-participants anyway.
+    val ids = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as(idCol))
+      .distinct()
+    val cand = df.join(ids, Seq(idCol), "leftsemi")
     // tokens materialized as a column before n-gramming — inlining the
     // tokenizer into the ngrams lambda re-runs the regex once per shingle
     val sets =
       (if (ngramSize <= 1)
-        df.select(col(idCol).as("vp_id"),
+        cand.select(col(idCol).as("vp_id"),
           array_distinct(Text.tokens(col(textCol))).as("gset"))
       else
-        df.withColumn("toks", Text.tokens(col(textCol)))
+        cand.withColumn("toks", Text.tokens(col(textCol)))
           .select(col(idCol).as("vp_id"),
             array_distinct(Text.ngrams(col("toks"), ngramSize)).as("gset")))
     pairs

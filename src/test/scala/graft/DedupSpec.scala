@@ -130,6 +130,22 @@ class DedupSpec extends SparkSpec {
     assert(bi.count() == 0) // zero shared bigrams -> pair never joins
   }
 
+  test("verifyPairs semi-join prune: non-participant docs change nothing") {
+    // r21: the gram-set projection runs only over docs that appear in a
+    // candidate pair — verify the prune is output-invariant by adding
+    // corpus rows no pair references.
+    val base = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+    val extra = base.unionByName(Seq(
+      (7L, "totally unrelated words here"),
+      (8L, "more bystander text rows")).toDF("doc_id", "text"))
+    val pairs = Seq((0L, 1L)).toDF("doc_a", "doc_b")
+    val a = Dedup.verifyPairs(pairs, base, "doc_id", "text").collect().toSeq
+    val b = Dedup.verifyPairs(pairs, extra, "doc_id", "text").collect().toSeq
+    assert(a == b && a.size == 1)
+  }
+
   test("simhashNearDup: exact dups at hamming 0, unrelated docs excluded") {
     val got = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 3)
       .collect.map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
