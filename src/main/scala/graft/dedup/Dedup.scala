@@ -154,7 +154,9 @@ object Dedup {
     * re-aggregation. Cost is O(pairs × grams-per-doc) — the whole point of
     * LSH is that `pairs` is tiny relative to n², so this is cheap at any
     * corpus size.
-    * Output: (doc_a, doc_b, jaccard).
+    * Output: every column of `pairs` plus `jaccard` (r21 — the
+    * pass-through lets callers keep per-pair evidence without re-joining
+    * the verify output onto the pair frame); zero-overlap pairs drop.
     */
   def verifyPairs(pairs: DataFrame, df: DataFrame, idCol: String,
                   textCol: String, ngramSize: Int = 1): DataFrame = {
@@ -181,14 +183,19 @@ object Dedup {
         cand.withColumn("toks", Text.tokens(col(textCol)))
           .select(col(idCol).as("vp_id"),
             array_distinct(Text.ngrams(col("toks"), ngramSize)).as("gset")))
+    // Output = the pairs' own columns + jaccard (r21): carrying the input
+    // columns through means callers that want estimate+exact evidence
+    // per pair (q25/q38) need NO re-join of the verify output back onto the
+    // pair frame — that join was a pair-grain shuffle whose left side was
+    // by construction a superset of the right.
     pairs
       .join(sets.select(col("vp_id").as("doc_a"), col("gset").as("ga")), "doc_a")
       .join(sets.select(col("vp_id").as("doc_b"), col("gset").as("gb")), "doc_b")
       .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
       .filter(col("inter") > 0)
-      .select(col("doc_a"), col("doc_b"),
+      .select(pairs.columns.map(col) :+
         (col("inter") /
-          (size(col("ga")) + size(col("gb")) - col("inter"))).as("jaccard"))
+          (size(col("ga")) + size(col("gb")) - col("inter"))).as("jaccard"): _*)
   }
 
   /** Connected components over a near-dup pair graph — pairs → dedup

@@ -74,13 +74,13 @@ object DedupQueries {
     // query's RDD is unreferenced. Same single materialization either way.
     val sig = Dedup.minHashWide(docs, "doc_id", "text", 3, 8)
       .localCheckpoint(false)
-    // pairs feed two consumers (the estimate output and the verify join)
-    // — materialize the tiny pair frame so the band self-join runs once
+    // pairs feed two consumers (the participant-id prune and the verify
+    // joins) — materialize the tiny pair frame so the band self-join runs
+    // once; verifyPairs passes est_jaccard through and appends jaccard, so
+    // no re-join of verify output onto the pair frame is needed (r21).
     val pairs = Dedup.lshCandidatePairs(sig, "doc_id", bandRows = 2)
       .localCheckpoint(false)
-    pairs
-      .join(Dedup.verifyPairs(pairs, docs, "doc_id", "text"),
-        Seq("doc_a", "doc_b"))
+    Dedup.verifyPairs(pairs, docs, "doc_id", "text")
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -204,12 +204,12 @@ object DedupQueries {
       .bucketedPairs(joined, "doc_id", "embedding", bits = 8)
       .filter($"cosine" >= 0.15)
       .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"), $"cosine")
-      // two consumers: output join + verifyPairs input.
+      // two consumers: the participant-id prune + the verify joins.
       // localCheckpoint, not cache — see q25 (auto-dropped, no session leak).
       .localCheckpoint(false)
-    pairs
-      .join(Dedup.verifyPairs(pairs, docs, "doc_id", "text"),
-        Seq("doc_a", "doc_b"))
+    // verifyPairs passes cosine through and appends jaccard — no re-join
+    // of the verify output onto the pair frame (r21).
+    Dedup.verifyPairs(pairs, docs, "doc_id", "text")
       .orderBy($"doc_a", $"doc_b")
   }
 
