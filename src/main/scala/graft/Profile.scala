@@ -62,6 +62,47 @@ object Profile {
     spark.catalog.clearCache()
     t("q29 full") { graft.queries.TextStatsQueries.q29LangId(spark, sfDir).count() }
     spark.catalog.clearCache()
+    // q29 split (r22): the profile learn pass runs (and collects) during
+    // query CONSTRUCTION; the classify pass is the final count. Time them
+    // separately so optimization targets the right half.
+    locally {
+      val t0 = System.nanoTime()
+      val q29 = graft.queries.TextStatsQueries.q29LangId(spark, sfDir)
+      val t1 = System.nanoTime()
+      val n = q29.count()
+      val t2 = System.nanoTime()
+      println(f"[profile] q29 learn+collect (construction)   ${(t1 - t0) / 1e9}%8.2f s")
+      println(f"[profile] q29 classify (count)               ${(t2 - t1) / 1e9}%8.2f s  ($n rows)")
+    }
+    spark.catalog.clearCache()
+    // q24 alternative (r22, VERDICT #5): in-row HOF minhash (no explode, no
+    // shuffle, interpreted md5 lambdas) vs the shipped explode + map-side
+    // partial-min HashAggregate. noop sink so column pruning can't skip the
+    // in-row signature (count() would prune it away entirely).
+    locally {
+      import graft.nlp.text.Text
+      def tn(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      val sh = docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), Text.ngrams(col("toks"), 3).as("sh"))
+        .filter(size(col("sh")) >= 1)
+      val words = (0 until 8).map { i =>
+        val j = i / 4
+        lower(lpad(hex(array_min(transform(col("sh"), g =>
+          conv(substring(md5(concat(lit(s"$j|"), g)), (i % 4) * 8 + 1, 8), 16, 10)
+            .cast("long")))), 8, "0"))
+      }
+      tn("q24 ALT in-row HOF minhash (noop)") {
+        sh.select(col("doc_id"), array(words: _*).as("sig"))
+      }
+      tn("q24 CUR explode+partial-agg (noop)") {
+        Dedup.minHashWide(docs, "doc_id", "text", 3, 8)
+      }
+    }
+    spark.catalog.clearCache()
     t("q36 simhash only") { Dedup.simHash(docs, "doc_id", "text").count() }
     t("q36 full") { graft.queries.DedupQueries.q36SimhashNeardup(spark, sfDir).count() }
     spark.catalog.clearCache()
@@ -102,6 +143,25 @@ object Profile {
       val n = w.df.count()
       w.df.unpersist()
       n
+    }
+    spark.catalog.clearCache()
+
+    // ---- silhouette sweep: pool=1 vs pool=3 (r22, VERDICT #7 evidence) --
+    // Same 13-k scan the wizard chain runs; the only variable is how many
+    // candidate fits are in flight (guide §2.6 job overlap).
+    locally {
+      import graft.wizard.Cluster
+      val emb = Tables(spark, sfDir, "embeddings")
+      for (w <- Seq(1, 3)) {
+        t(s"kmeansSilhouette 13-k sweep poolWidth=$w") {
+          val (bestK, labeled) =
+            Cluster.kmeansSilhouette(emb, "embedding", "cl",
+              kMin = 2, kMax = 15, seed = 42L, poolWidth = w)
+          val n = labeled.count()
+          println(s"[profile]   bestK=$bestK")
+          n
+        }
+      }
     }
     spark.catalog.clearCache()
 

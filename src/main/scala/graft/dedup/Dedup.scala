@@ -17,6 +17,22 @@ import graft.nlp.text.Text
   * Determinism: all hash families derive from md5 of explicit strings
   * (seed|shingle), so signatures are reproducible across engines and runs —
   * no JVM-hash or RNG dependence.
+  *
+  * Materialization policy (r21/r22): multi-consumer intermediates use
+  * `localCheckpoint`, not `cache()` — blocks are dropped by the
+  * ContextCleaner once the result is unreferenced (no leak in long-lived
+  * sessions) and the lineage cut keeps iterative plans bounded. The
+  * deliberate trade-off at cluster scale: local-checkpoint blocks live
+  * ONLY on executors and carry no lineage to recompute from, so losing an
+  * executor mid-query (dynamic-allocation decommission, spot kill, OOM
+  * kill) FAILS the query instead of recomputing the lost partitions.
+  * Deployments running these operators on a real cluster should either
+  * disable executor churn for the job (no dynamic allocation, or
+  * `spark.decommission.enabled` + block migration so blocks move before
+  * an executor exits), or swap in a reliable `checkpoint()` directory
+  * where re-running a failed query is more expensive than the HDFS/object-
+  * store write. local[*] (the bench and tests) has a single process and no
+  * executor loss, so the caveat is cluster-only.
   */
 object Dedup {
 
@@ -350,6 +366,8 @@ object Dedup {
     // localCheckpoint, not cache (r21): this library .cache() was never
     // unpersisted — a leak in long-lived sessions; checkpoint blocks are
     // dropped by the ContextCleaner once the result is unreferenced.
+    // Executor-loss caveat: see the materialization policy in the object
+    // docs above.
     val sh = simHash(df, idCol, textCol).localCheckpoint(false)
     val banded = sh.select(col(idCol), col("simhash"),
         explode(sequence(lit(0), lit(chunks - 1))).as("band"))

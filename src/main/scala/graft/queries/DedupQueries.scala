@@ -72,6 +72,8 @@ object DedupQueries {
     // unpersisted — a slow leak in any long-lived session — while
     // checkpoint blocks are dropped by the ContextCleaner as soon as the
     // query's RDD is unreferenced. Same single materialization either way.
+    // Executor-loss caveat at cluster scale: see Dedup's materialization
+    // policy (object docs).
     val sig = Dedup.minHashWide(docs, "doc_id", "text", 3, 8)
       .localCheckpoint(false)
     // pairs feed two consumers (the participant-id prune and the verify

@@ -26,7 +26,16 @@ object EventQueries {
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         timestamp_micros(expr("ts div 1000"))
-      case _ => col("ts").cast("timestamp")
+      case _ =>
+        // NTZ wall-clock → instant is interpreted in the SESSION time zone;
+        // parity with the oracle's epoch_ns(ts) // 1000 holds only under
+        // UTC (every graft entry point sets it). Assert loudly instead of
+        // silently shifting instants for a non-UTC caller (ADVICE r21).
+        require(
+          df.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events.ts is TIMESTAMP_NTZ: tsMicros requires " +
+            "spark.sql.session.timeZone=UTC to match the oracle's micros")
+        col("ts").cast("timestamp")
     }
 
   /** q34: tumbling 1-hour event-time windows × event_type, with exact

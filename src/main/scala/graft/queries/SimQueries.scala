@@ -72,8 +72,15 @@ object SimQueries {
   def q41IvfTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.balanced(spark, dir, "embeddings")
+    // totalRows hint (r22): sizes the quantizer's fit sample so the KMeans
+    // fit never runs over the full corpus at scale. Counted on the RAW scan
+    // (not the balanced frame) — a column-less parquet count comes from
+    // footer row counts, and counting through `balanced`'s round-robin
+    // exchange would shuffle empty rows for nothing.
+    val n = Tables(spark, dir, "embeddings").count()
     Similarity.ivfTopK(emb.filter($"vec_id" < 10), emb,
-        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4,
+        totalRows = Some(n))
       .orderBy($"query_id", $"rk")
   }
 

@@ -75,20 +75,24 @@ object Similarity {
     //
     // Sizing the sample fraction needs the corpus row count, which the
     // caller supplies as `totalRows` — a hint, like expectedNumItems on a
-    // Bloom filter. r9–r20 computed it here with corpus.count(), paying an
-    // extra full-corpus job per call just to decide WHETHER to sample
-    // (flagged as the engine's only perf-weak spot for 15 rounds). Now:
-    // no hint → fit on the corpus as given; callers at scale pass the
-    // count they invariably already have (or pre-sample the corpus).
+    // Bloom filter. Callers at scale pass the count they invariably already
+    // have (a column-less parquet count is near-free: the scan reads row
+    // counts from footer metadata, never data pages). With NO hint the
+    // guard must still engage (r22, closing the r21 hole where a hint-less
+    // caller silently fitted the FULL corpus — 8 KMeans passes over every
+    // embedding at 100 TB): fall back to counting the corpus here, the same
+    // cheap pre-scan r9–r20 always paid. The hint's value is letting the
+    // caller supply a cheaper count (raw-scan metadata vs this plan), not
+    // skipping the safeguard.
     val km = new KMeans().setK(nlist).setSeed(seed)
       .setInitMode("random").setMaxIter(8)
       .setFeaturesCol("_mlvec").setPredictionCol("_cell")
-    val fitDf = totalRows match {
-      case Some(total) if total > fitSampleRows =>
+    val total = totalRows.getOrElse(corpus.count())
+    val fitDf =
+      if (total > fitSampleRows)
         graft.sampling.Sampling.deterministicSample(
           withVec, col(idCol), fitSampleRows.toDouble / total)
-      case _ => withVec
-    }
+      else withVec
     val model = km.fit(fitDf, ParamMap(km.solver -> "row"))
     val assigned = model.transform(withVec).drop("_mlvec")
     val centroids = model.clusterCenters.zipWithIndex

@@ -73,37 +73,58 @@ object Cluster {
     * Candidate fits are independent jobs over the SAME persisted frame, so
     * they run from a small driver thread pool (guide-standard overlap): the
     * tail tasks of one k's fit no longer leave the cluster idle while the
-    * next k waits. 3 in flight is enough to fill stragglers without
-    * thrashing executors; each (k, seed) fit is deterministic, so
-    * completion order cannot change which model wins.
+    * next k waits. `poolWidth` fits in flight (3 by default) is enough to
+    * fill stragglers without thrashing executors; each (k, seed) fit is
+    * deterministic, so completion order cannot change which model wins.
+    *
+    * Failure path (r22): a failed fit cancels the whole scan's job group
+    * and shuts the pool down hard BEFORE the frame is unpersisted —
+    * otherwise queued/in-flight sibling fits keep running against an
+    * unpersisted frame and recompute it from scratch as leaked jobs.
     */
   def kmeansSilhouette(df: DataFrame, vecCol: String, outCol: String,
                        kMin: Int = 2, kMax: Int = 15,
-                       seed: Long = 42L): (Int, DataFrame) = {
+                       seed: Long = 42L, poolWidth: Int = 3): (Int, DataFrame) = {
     require(kMax > kMin && kMin >= 2, s"need 2 <= kMin < kMax, got [$kMin,$kMax)")
+    require(poolWidth >= 1, s"poolWidth=$poolWidth must be >= 1")
     val tmp = vecCol + "_mlvec"
     val withVec = df.withColumn(tmp, toVec(col(vecCol)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     withVec.count() // materialize ONCE before concurrent fits race to fill it
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val sc = df.sparkSession.sparkContext
+    val group = s"kmeansSilhouette[$kMin,$kMax)@${System.identityHashCode(df)}"
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(poolWidth)
     try {
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      val eval = new ClusteringEvaluator()
-        .setFeaturesCol(tmp).setPredictionCol(outCol)
       val futures = (kMin until kMax).map { k =>
         scala.concurrent.Future {
+          // job group is thread-local: set it in the pool thread so a
+          // failure can cancel every sibling fit's in-flight jobs
+          sc.setJobGroup(group, s"silhouette fit k=$k", interruptOnCancel = true)
           val m = fitKMeans(withVec, tmp, outCol, k, seed)
-          val s = eval.evaluate(m.transform(withVec))
+          // evaluator constructed per fit: ClusteringEvaluator carries
+          // mutable Param state and is not documented thread-safe
+          val s = new ClusteringEvaluator()
+            .setFeaturesCol(tmp).setPredictionCol(outCol)
+            .evaluate(m.transform(withVec))
           (k, s, m)
         }
       }
-      val scored = futures.map(f =>
-        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+      val scored =
+        try futures.map(f => scala.concurrent.Await.result(
+          f, scala.concurrent.duration.Duration.Inf))
+        catch { case e: Throwable =>
+          sc.cancelJobGroup(group) // stop in-flight sibling fits
+          throw e
+        }
       val (bestK, _, bestM) = scored.maxBy(t => (t._2, -t._1))
       (bestK, bestM.transform(withVec).drop(tmp))
     } finally {
-      pool.shutdown()
+      // shutdownNow, not shutdown: on the failure path plain shutdown()
+      // leaves queued fits to start AFTER the unpersist below (on the
+      // success path the queue is empty, so the two are equivalent)
+      pool.shutdownNow()
       withVec.unpersist()
     }
   }

@@ -79,6 +79,18 @@ class SimilaritySpec extends SparkSpec {
     assert(sampled.size == exact.size, "hint path must return k rows per query")
     val recallSampled = exact.intersect(sampled).size.toDouble / exact.size
     assert(recallSampled >= 0.6, s"sampled-fit recall $recallSampled")
+
+    // no-hint guard (r22): with totalRows absent the fit-sample safeguard
+    // must STILL engage (via an internal corpus.count()) — a hint-less
+    // caller must never fit KMeans on a corpus larger than fitSampleRows.
+    // Same (k, seed, fitSampleRows) as the hinted call above, so the
+    // deterministic md5-sample — hence the quantizer, hence the results —
+    // must be identical.
+    val unhinted = Similarity.ivfTopK(queries, corpus, "vec_id", "embedding",
+        k = 5, nlist = 4, nprobe = 2, fitSampleRows = 50)
+      .collect.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(unhinted == sampled,
+      "no-hint path must produce the hinted sampled-fit results")
   }
 
   test("SqrtComparisonRule rewrites sqrt(vec_sqdist) radius filters exactly") {
