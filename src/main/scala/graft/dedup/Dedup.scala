@@ -246,13 +246,19 @@ object Dedup {
                           localEdgeThreshold: Long = 20000000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // localCheckpoint, not persist (r22): the persisted pair frame was
+    // unpersisted only on the empty-graph branch — on both real paths its
+    // blocks lingered for the life of the session (the same leak class the
+    // r21 pass closed at the other dedup sites). The count() below
+    // materializes the lazy checkpoint; blocks auto-drop via the
+    // ContextCleaner once the result is unreferenced. Executor-loss caveat:
+    // see the materialization policy in the object docs.
     val dedupedPairs = pairs
       .select(col("doc_a").cast("long").as("a"), col("doc_b").cast("long").as("b"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val m = dedupedPairs.count()
     if (m == 0) {
-      dedupedPairs.unpersist(false)
       return pairs.select(col("doc_a").cast("long").as("doc_id"),
         col("doc_b").cast("long").as("component")).limit(0)
     }
